@@ -1,0 +1,162 @@
+"""From-scratch HTML main-content extractor (Boilerpipe/Readability-style).
+
+No lxml/selectolax in this environment, so the DOM tokenizer is a regex
+stream over the raw markup: a single pass that tracks boilerplate-container
+depth (<nav>/<header>/<footer>/<aside>/<head>), anchor depth (<a>), and
+flushes text buffers into *blocks* at block-level tag boundaries. Each block
+then gets text-density / link-density scoring; kept blocks are merged with
+"\\n\\n" and per-block character spans are recorded.
+
+This is the Spark-first re-expression of the reference's fast native-text
+path + layout dispatch (pdf_processor.py:37-59 block extraction;
+processors.py:24-59 page classifier; utils.py:107-138 quality gate) applied
+to web pages per BASELINE.json's input_hint. The same function is the serial
+oracle AND the per-document kernel inside the Arrow batch (tests assert the
+Spark output is byte-identical to calling this directly).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+
+# Strip non-content subtrees wholesale before tokenizing.
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style|svg|noscript)\b[^>]*>.*?</\1\s*>", re.I | re.S
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DOCTYPE_RE = re.compile(r"<!DOCTYPE[^>]*>", re.I)
+
+# One token = a tag or a text run.
+_TOK_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*)>|([^<]+)")
+
+# Tags whose open OR close flushes the current text buffer into a block.
+BLOCK_TAGS = frozenset(
+    """html head body article section div p h1 h2 h3 h4 h5 h6 ul ol li dl dt dd
+    table thead tbody tr th td blockquote pre figure figcaption main form
+    fieldset hr br title nav header footer aside""".split()
+)
+
+# Containers whose entire subtree is boilerplate.
+DROP_CONTAINERS = frozenset("nav header footer aside head".split())
+
+# Scoring thresholds (tuned once, frozen; tests pin behavior).
+MAX_LINK_DENSITY = 0.50   # FIXTURES.md: >60%-anchor blocks must drop
+MIN_BLOCK_WORDS = 2       # density floor for a standalone block
+_WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"\S+")
+
+
+@dataclass
+class Block:
+    text: str           # whitespace-normalized block text
+    anchor_chars: int   # chars contributed from inside <a>
+    total_chars: int    # chars before normalization (content only)
+    in_drop: bool       # inside nav/header/footer/aside/head
+    tag: str            # nearest enclosing block tag at flush time
+
+
+def segment_blocks(markup: str) -> list[Block]:
+    """Single-pass tokenizer -> list of text blocks with link statistics."""
+    markup = _DOCTYPE_RE.sub("", markup)
+    markup = _COMMENT_RE.sub("", markup)
+    markup = _SCRIPT_STYLE_RE.sub("", markup)
+
+    blocks: list[Block] = []
+    buf: list[str] = []
+    anchor_chars = 0
+    total_chars = 0
+    drop_depth = 0
+    anchor_depth = 0
+    tag_stack: list[str] = []
+
+    def flush() -> None:
+        nonlocal buf, anchor_chars, total_chars
+        raw = "".join(buf)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            blocks.append(
+                Block(
+                    text=text,
+                    anchor_chars=anchor_chars,
+                    total_chars=total_chars,
+                    in_drop=drop_depth > 0,
+                    tag=tag_stack[-1] if tag_stack else "",
+                )
+            )
+        buf = []
+        anchor_chars = 0
+        total_chars = 0
+
+    for m in _TOK_RE.finditer(markup):
+        if m.group(4) is not None:  # text run
+            text = _htmlmod.unescape(m.group(4))
+            stripped = text.strip()
+            if stripped:
+                buf.append(text)
+                n = len(stripped)
+                total_chars += n
+                if anchor_depth > 0:
+                    anchor_chars += n
+            elif buf:
+                buf.append(" ")
+            continue
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if name == "a":
+            if closing:
+                anchor_depth = max(0, anchor_depth - 1)
+            else:
+                anchor_depth += 1
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+            if name in DROP_CONTAINERS:
+                if closing:
+                    drop_depth = max(0, drop_depth - 1)
+                else:
+                    drop_depth += 1
+            if name in ("br", "hr"):
+                continue
+            if closing:
+                if name in tag_stack:
+                    while tag_stack and tag_stack.pop() != name:
+                        pass
+            else:
+                tag_stack.append(name)
+    flush()
+    return blocks
+
+
+def keep_block(b: Block) -> bool:
+    """Boilerplate classifier: drop chrome containers and link-dense blocks.
+
+    The link-density rule is the web analog of the reference's dictionary
+    quality gate (utils.py:107-138): a block dominated by anchor text is
+    navigation, not content.
+    """
+    if b.in_drop:
+        return False
+    words = len(_WORD_RE.findall(b.text))
+    if words < MIN_BLOCK_WORDS:
+        return False
+    if b.total_chars > 0 and (b.anchor_chars / b.total_chars) > MAX_LINK_DENSITY:
+        return False
+    return True
+
+
+def extract_html(markup: str) -> tuple[str, list[tuple[int, int]]]:
+    """Main-content extraction: (merged_text, per-kept-block char spans).
+
+    Kept blocks joined with "\\n\\n"; span invariant:
+    ``merged[start:end] == block.text`` for every span.
+    """
+    kept = [b.text for b in segment_blocks(markup) if keep_block(b)]
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for i, t in enumerate(kept):
+        if i > 0:
+            pos += 2  # "\n\n"
+        spans.append((pos, pos + len(t)))
+        pos += len(t)
+    return "\n\n".join(kept), spans

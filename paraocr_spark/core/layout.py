@@ -1,0 +1,114 @@
+"""Synthetic binary layout payloads + reading-order extraction.
+
+The reference's heavy path renders PDF pages and merges recognized lines in
+layout order (``pdf_processor.py:37-59``: blocks sorted with ``sort=True``,
+text blocks joined with ``\\n``; pages merged with the literal separator at
+``parallel.py:658``). This module defines a deterministic binary "layout
+document" format standing in for PDFs (FIXTURES.md §1 "binary layout
+payload") and the parser that re-creates that semantics:
+
+  * per page, lines carry (x, y) positions and arrive out of document order;
+  * extraction sorts lines by (y, x) — reading order — and joins with "\\n";
+  * pages are merged with PAGE_BREAK, byte-identical to the reference.
+
+Format (little-endian):
+    magic   8 bytes  b"PLAYOUT1"
+    n_pages u16
+    per page:  n_lines u16
+    per line:  x f32, y f32, len u16, utf-8 bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+from paraocr_spark import PAGE_BREAK
+
+MAGIC = b"PLAYOUT1"
+
+
+def encode_layout(pages: list[list[tuple[float, float, str]]]) -> bytes:
+    """Serialize pages of (x, y, text) lines into the binary layout format."""
+    out = [MAGIC, struct.pack("<H", len(pages))]
+    for lines in pages:
+        out.append(struct.pack("<H", len(lines)))
+        for x, y, text in lines:
+            raw = text.encode("utf-8")
+            out.append(struct.pack("<ffH", float(x), float(y), len(raw)))
+            out.append(raw)
+    return b"".join(out)
+
+
+def decode_layout(payload: bytes) -> list[list[tuple[float, float, str]]]:
+    """Parse the binary format back into pages of (x, y, text) lines.
+
+    Raises ValueError on truncation/corruption — callers turn that into an
+    in-band error row (analog of parallel.py:565-569).
+    """
+    if not payload.startswith(MAGIC):
+        raise ValueError("bad magic")
+    off = len(MAGIC)
+
+    def take(fmt: str) -> tuple:
+        nonlocal off
+        size = struct.calcsize(fmt)
+        if off + size > len(payload):
+            raise ValueError("truncated layout payload")
+        vals = struct.unpack_from(fmt, payload, off)
+        off += size
+        return vals
+
+    (n_pages,) = take("<H")
+    pages: list[list[tuple[float, float, str]]] = []
+    for _ in range(n_pages):
+        (n_lines,) = take("<H")
+        lines = []
+        for _ in range(n_lines):
+            x, y, ln = take("<ffH")
+            if off + ln > len(payload):
+                raise ValueError("truncated layout payload")
+            text = payload[off : off + ln].decode("utf-8")
+            off += ln
+            lines.append((x, y, text))
+        pages.append(lines)
+    return pages
+
+
+def extract_layout(payload: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """Reading-order extraction: (merged_text, per-page char spans).
+
+    Lines sorted by (y, x) per page (pdf_processor.py:47 ``sort=True``
+    analog), joined with "\\n"; pages joined with PAGE_BREAK
+    (parallel.py:657-660). Spans cover each page's text in the merged doc.
+    """
+    pages = decode_layout(payload)
+    page_texts = [
+        "\n".join(t for _, _, t in sorted(lines, key=lambda l: (l[1], l[0])))
+        for lines in pages
+    ]
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for i, pt in enumerate(page_texts):
+        if i > 0:
+            pos += len(PAGE_BREAK)
+        spans.append((pos, pos + len(pt)))
+        pos += len(pt)
+    return PAGE_BREAK.join(page_texts), spans
+
+
+def split_layout_pages(payload: bytes, pages_per_shard: int) -> list[bytes]:
+    """Re-encode a layout doc as N smaller layout docs of <= pages_per_shard.
+
+    This is the skew salting primitive (SURVEY.md §7 step 5): a giant
+    multi-page document is split into independently-extractable shards which
+    the pipeline reassembles with a groupBy on url — fixing the reference's
+    one-file-serializes gap (its batch attribution at parallel.py:42-49
+    gives one giant PDF to one worker).
+    """
+    pages = decode_layout(payload)
+    if len(pages) <= pages_per_shard:
+        return [payload]
+    return [
+        encode_layout(pages[i : i + pages_per_shard])
+        for i in range(0, len(pages), pages_per_shard)
+    ]
