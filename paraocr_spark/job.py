@@ -1,0 +1,90 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files paraocr_spark.zip -m ... paraocr_spark/job.py \
+        --input /path/pages_parquet --output /tmp/out --lineage /tmp/lineage \
+        [--resume] [--synthetic N] [--run-id r1]
+
+Analog of the reference CLI ``paraocr run -i DIR -o OUT.jsonl``
+(cli.py:546-559 argument parsing; run_pipeline cli.py:259-291). The
+``--synthetic N`` mode generates the deterministic pages table in-executor
+(sources/pages.py) so benchmarks need no external data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "paraocr_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="paraocr_spark extraction job")
+    p.add_argument("--input", help="pages parquet/iceberg path")
+    p.add_argument("--synthetic", type=int, default=None,
+                   help="generate N synthetic pages instead of --input")
+    p.add_argument("--output", required=True, help="extracted table path")
+    p.add_argument("--lineage", required=True, help="lineage table path")
+    p.add_argument("--resume", action="store_true",
+                   help="anti-join against existing --output before running")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--no-salt", action="store_true")
+    p.add_argument("--master", default=None, help="override master (local[N] for bench)")
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args(argv)
+    if not args.input and args.synthetic is None:
+        p.error("one of --input or --synthetic is required")
+
+    from paraocr_spark.pipeline import PipelineConfig, run_and_write
+    from paraocr_spark.sources import io as pio
+    from paraocr_spark.sources.pages import pages_df
+
+    spark = build_session(master=args.master, shuffle_partitions=args.partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.synthetic is not None:
+            parts = args.partitions or spark.sparkContext.defaultParallelism
+            pages = pages_df(spark, args.synthetic, parts)
+        else:
+            pages = pio.read_table(spark, args.input)
+
+        done = None
+        if args.resume:
+            try:
+                done = pio.read_table(spark, args.output)
+            except Exception:
+                done = None  # first run: nothing to resume from
+
+        cfg = PipelineConfig(
+            run_id=args.run_id, salt=not args.no_salt,
+            min_partitions=args.partitions,
+        )
+        metrics = run_and_write(spark, pages, args.output, args.lineage, cfg, done)
+        print(json.dumps({"run_id": args.run_id, **metrics}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""Per-partition lineage/metrics rollup (north-rule requirement).
+
+Analog of the reference's performance log (PerformanceTracker,
+parallel.py:33-61, sink parallel.py:124-137): wall time measured inside the
+kernel per Arrow batch, attributed evenly across the batch's rows
+(parallel.py:42-49), then rolled up per Spark partition with one tiny
+groupBy. The lineage table doubles as the resume checkpoint's audit trail
+(FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA_DDL = (
+    "run_id string, partition_id int, doc_count long, bytes long, "
+    "wall_time_s double, config_fp string"
+)
+
+
+def config_fingerprint(config: dict) -> str:
+    """SHA-1 over the sorted config — cache/checkpoint invalidation key.
+
+    Analog of the reference's config fingerprint in cache manifests
+    (parallel.py:95-96: {dpi, pdf_engine, cache_version}).
+    """
+    blob = json.dumps(config, sort_keys=True, default=str).encode("utf-8")
+    return hashlib.sha1(blob).hexdigest()
+
+
+def lineage_rollup(extracted_with_metrics: DataFrame, run_id: str,
+                   config_fp: str) -> DataFrame:
+    """Roll kernel metric columns (_pid, _doc_bytes, _wall_s) into lineage rows."""
+    return (
+        extracted_with_metrics
+        .groupBy(F.col("_pid").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("_doc_bytes").alias("bytes"),
+            F.sum("_wall_s").alias("wall_time_s"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id", "doc_count", "bytes", "wall_time_s",
+            F.lit(config_fp).alias("config_fp"),
+        )
+    )

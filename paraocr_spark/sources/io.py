@@ -1,0 +1,58 @@
+"""Iceberg-or-parquet IO with graceful fallback.
+
+The north rule targets Iceberg tables partitioned by warc_ts bucket. The
+sandbox has no Iceberg runtime jar, so writes fall back to parquet with the
+same logical partitioning (bucket column materialized). The code path keeps
+the Iceberg branch first so a cluster with the runtime jar uses snapshots
+natively (they replace the reference's manifest cache, parallel.py:85-96).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_BUCKETS = 64
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def with_warc_bucket(df: DataFrame, n_buckets: int = WARC_BUCKETS) -> DataFrame:
+    """Materialize the Iceberg-style bucket(warc_ts) partition column."""
+    return df.withColumn(
+        "warc_bucket",
+        F.pmod(F.hash(F.col("warc_ts").cast("long")), F.lit(n_buckets)),
+    )
+
+
+def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append extracted rows partitioned by bucket(warc_ts) (north rule)."""
+    spark = df.sparkSession
+    if _iceberg_available(spark) and path.count(".") >= 1 and "/" not in path:
+        # Iceberg catalog table name, e.g. "cat.db.extracted"
+        df.writeTo(path).append()
+        return
+    (
+        with_warc_bucket(df)
+        .write.mode(mode)
+        .partitionBy("warc_bucket")
+        .parquet(path)
+    )
+
+
+def write_lineage(df: DataFrame, path: str, mode: str = "append") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    if _iceberg_available(spark) and path.count(".") >= 1 and "/" not in path:
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,65 @@
+"""Pipeline-level behavior: resume idempotence, lineage, sinks."""
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from paraocr_spark.pipeline import PipelineConfig, run_and_write, run_extraction
+from paraocr_spark.sources import io as pio
+from paraocr_spark.sources.pages import pages_df
+
+
+def test_resume_is_idempotent(spark, tmp_path: pathlib.Path):
+    """Run, then re-run with resume: second run processes 0 rows
+    (cli.py:227-231 analog: second run over same output is a no-op)."""
+    out = str(tmp_path / "extracted")
+    lin = str(tmp_path / "lineage")
+    pages = pages_df(spark, 120, 4)
+    cfg = PipelineConfig(run_id="r1")
+    m1 = run_and_write(spark, pages, out, lin, cfg)
+    assert m1["rows"] == 120
+    done = pio.read_table(spark, out)
+    m2 = run_and_write(spark, pages, out, lin, PipelineConfig(run_id="r2"), done)
+    assert m2["rows"] == 0
+    # output still has exactly one row per url
+    final = pio.read_table(spark, out)
+    assert final.count() == 120
+    assert final.select("url").distinct().count() == 120
+
+
+def test_resume_partial(spark, tmp_path):
+    """Delete half the output -> re-run processes exactly the missing half."""
+    pages = pages_df(spark, 100, 4)
+    cfg = PipelineConfig(run_id="r1")
+    extracted, _ = run_extraction(spark, pages, cfg)
+    half = extracted.where(F.hash("url") % 2 == 0).persist()
+    n_half = half.count()
+    ext2, _ = run_extraction(spark, pages, PipelineConfig(run_id="r2"), done=half)
+    assert ext2.count() == 100 - n_half
+    # no overlap between the kept half and the reprocessed rest
+    assert ext2.join(half, "url", "inner").count() == 0
+    half.unpersist()
+
+
+def test_lineage_rollup(spark, tmp_path):
+    pages = pages_df(spark, 200, 4)
+    extracted, lineage = run_extraction(spark, pages, PipelineConfig(run_id="rl"))
+    rows = lineage.collect()
+    assert sum(r.doc_count for r in rows) == 200
+    assert all(r.wall_time_s > 0 for r in rows)
+    assert all(r.run_id == "rl" for r in rows)
+    assert len({r.partition_id for r in rows}) == len(rows)
+    # bytes roll up to the total html payload size
+    total_bytes = sum(r.bytes for r in rows)
+    assert total_bytes > 0
+
+
+def test_warc_bucket_partitioning(spark, tmp_path):
+    pages = pages_df(spark, 50, 2)
+    extracted, _ = run_extraction(spark, pages, PipelineConfig(run_id="rb"))
+    out = str(tmp_path / "bucketed")
+    pio.write_extracted(extracted, out)
+    dirs = [p.name for p in pathlib.Path(out).iterdir() if p.is_dir()]
+    assert any(d.startswith("warc_bucket=") for d in dirs)
+    back = pio.read_table(spark, out)
+    assert back.count() == 50
