@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+  * exact           — fingerprint groupBy (one shuffle, map-side partial agg)
+  * ngram-jaccard   — exact set-similarity via inverted-index join
+  * minhash-LSH     — 64-perm MinHash signatures + banded bucket join +
+                       exact-jaccard verification (the web-scale near-dup
+                       pipeline: SIGMOD'07 "Detecting Near-Duplicates for
+                       Web Crawling" lineage)
+  * simhash         — 64-bit SimHash built entirely from relational ops
+                       (explode + 64 partial aggregates), banded hamming join
+
+Everything is pyspark.sql built-ins — zero Python UDFs — so Catalyst sees
+the whole plan: shuffles are keyed on doc_id or band hashes, partial
+aggregation happens map-side, and AQE handles skewed shingle frequencies.
+At 100 TB the ngram-jaccard inverted index needs a max-document-frequency
+cut on shingles (drop shingles appearing in > df_max docs — they produce
+quadratic candidate blowup); exposed as ``max_df``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paraocr_spark.functions.text import fingerprint
+
+_P = 2147483647  # 2^31 - 1 (prime); keeps a*h+b < 2^62, no ANSI overflow
+_K = 64          # minhash permutations
+_BANDS = 16      # 16 bands x 4 rows
+
+_rng = random.Random(20250816)
+_A = [_rng.randrange(1, _P) for _ in range(_K)]
+_B = [_rng.randrange(0, _P) for _ in range(_K)]
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (fingerprint, keeper=min id, n copies).
+
+    One hash-shuffle with map-side combine; fingerprints are md5 of
+    normalized text (functions/text.py), the analog of the reference's
+    content-addressed cache keys (parallel.py:63-66).
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+def with_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles): distinct word n-grams; whole text if < n words."""
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+        ),
+    )
+    shingles = F.array_distinct(
+        F.when(F.size(ws) >= n, gram).otherwise(F.array(F.trim(F.col(text_col))))
+    )
+    return docs.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+
+
+def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact jaccard to candidate (a, b) pairs via the shingle sets."""
+    a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "a", "b",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------ exact n-gram join
+def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, max_df: int | None = None) -> DataFrame:
+    """EXACT jaccard near-dup pairs via inverted-index join.
+
+    Plan: shingle -> explode -> self-join on shingle (only docs sharing at
+    least one shingle ever meet — no cross join) -> count common shingles
+    per pair -> jaccard filter. ``max_df`` drops ubiquitous shingles to tame
+    the quadratic candidate blowup at scale (changes recall only for pairs
+    whose entire overlap is ubiquitous shingles).
+    """
+    sh = with_shingles(docs, id_col, text_col, n).persist()
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq.where(F.col("df") <= max_df).select("s"), "s")
+    lhs = ex.select(F.col("id").alias("a"), "s")
+    rhs = ex.select(F.col("id").alias("b"), "s")
+    pairs = (
+        lhs.join(rhs, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select("a", "b")
+    )
+    out = _exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
+    return out
+
+
+# --------------------------------------------------------------- minhash
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(id, m0..m63): 64 permutation-min hashes, one shuffle with map-side
+    partial mins. h = xxhash64(shingle) folded into [0, P); sig_i =
+    min((a_i * h + b_i) mod P)."""
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(_P))
+    ex = ex.select("id", h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(_A[i]) * F.col("h") + F.lit(_B[i]), F.lit(_P))).alias(f"m{i}")
+        for i in range(_K)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-jaccard verified.
+
+    16 bands x 4 rows: P(candidate | j) = 1-(1-j^4)^16 — ~1.0 for j>=0.9,
+    so planted near-dups are always caught; every candidate is verified
+    with exact jaccard, so precision is exact. Scales as: one shuffle for
+    signatures, one for the band bucket join (keyed on band hash — small
+    buckets unless true dups), one small join for verification.
+    """
+    sh = with_shingles(docs, id_col, text_col, n).persist()
+    sig = minhash_signatures(sh)
+    r = _K // _BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)]).alias("bh"),
+        )
+        for b in range(_BANDS)
+    ])
+    buckets = (
+        sig.select("id", F.explode(bands).alias("e"))
+        .select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    )
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return _exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------- simhash
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, simhash): 64-bit SimHash from token xxhash64s — NO Python UDF.
+
+    explode tokens -> per-bit +1/-1 votes as 64 partial-aggregated sums ->
+    reassemble the bit vector relationally. One shuffle.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    ex = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    total = bits[0]
+    for expr in bits[1:]:
+        total = total.bitwiseOR(expr)
+    return agg.select("id", total.alias("simhash"))
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: 4 chunks of 16 bits — any pair within hamming 3 shares at
+    least one exact chunk (pigeonhole), so the chunk-equality join finds
+    all of them; bit_count(xor) verifies exactly.
+    """
+    sig = simhash64(docs, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+        )
+        for c in range(4)
+    ])
+    b = sig.select("id", "simhash", F.explode(chunks).alias("e")).select(
+        "id", "simhash", F.col("e.c").alias("c"), F.col("e.ch").alias("ch")
+    )
+    pairs = (
+        b.alias("x").join(b.alias("y"), ["c", "ch"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

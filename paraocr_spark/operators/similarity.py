@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+  * brute-force cosine top-k — exact baseline, all pyspark.sql built-ins
+    (zip_with + aggregate for the dot product stays JVM-side); fine up to
+    ~10^5 x 10^5 with a broadcast query side;
+  * LSH-bucketed ANN — random-hyperplane signatures computed in a
+    vectorized pandas UDF (one numpy matmul per Arrow batch), candidates
+    from bucket equality over L tables, exact cosine rerank on candidates
+    only. This is the 100 TB path: the full cross product never
+    materializes; each bucket join is keyed and partial.
+
+Cosines are computed in float64 (embeddings cast element-wise) and rounded
+to 4dp before any threshold/ranking so results are stable across engines
+(the DuckDB oracle computes the same quantity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+def neardup_pairs(emb: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine near-dup pairs >= threshold (brute force, a < b).
+
+    At scale, swap the inner join for ann LSH candidates + this rerank.
+    """
+    x = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        x.join(y, F.col("a") < F.col("b"))
+        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for the first n_queries vectors.
+
+    Query side is tiny -> broadcast join; ranking deterministic:
+    (cosine desc, neighbor asc) on the 4dp-rounded cosine.
+    """
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("vq")
+    )
+    c = emb.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("vn"))
+    scored = (
+        F.broadcast(q).join(c, F.col("q") != F.col("nb"))
+        .select("q", "nb", cosine_col(F.col("vq"), F.col("vn")).alias("cosine"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "nb", "cosine", "rank")
+    )
+
+
+# ----------------------------------------------------------- LSH ANN path
+_DIM_DEFAULT = 64
+_BITS = 12
+_TABLES = 8
+
+
+def _hyperplanes(dim: int, bits: int, tables: int) -> np.ndarray:
+    rng = np.random.RandomState(20250816)
+    return rng.normal(size=(tables, bits, dim)).astype(np.float64)
+
+
+def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,
+                   tables: int = _TABLES, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket): random-hyperplane sign buckets, L tables.
+
+    Vectorized: one numpy (batch x dim) @ (dim x bits*L) matmul per Arrow
+    batch inside a pandas UDF — no per-row Python.
+    """
+    H = _hyperplanes(dim, bits, tables)  # (L, bits, dim)
+    flat = H.reshape(tables * bits, dim).T  # (dim, L*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())  # (n, dim) float32
+        signs = (M.astype(np.float64) @ flat) > 0  # (n, L*bits)
+        signs = signs.reshape(len(M), tables, bits)
+        vals = (signs * weights).sum(axis=2)  # (n, L)
+        return pd.Series(list(vals))
+
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    return ex
+
+
+def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 20,
+                 dim: int = _DIM_DEFAULT, bits: int = _BITS,
+                 tables: int = _TABLES, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: LSH bucket candidates -> exact cosine rerank.
+
+    Recall grows with L (tables); the cross product never forms — the
+    candidate join is keyed on (table, bucket).
+    """
+    sigs = lsh_signatures(emb, dim, bits, tables, id_col, vec_col).persist()
+    qs = sigs.where(F.col("id") < n_queries)
+    cands = (
+        qs.alias("q").join(sigs.alias("s"), ["table", "bucket"])
+        .where(F.col("q.id") != F.col("s.id"))
+        .select(F.col("q.id").alias("q"), F.col("s.id").alias("nb"))
+        .dropDuplicates(["q", "nb"])
+    )
+    qv = emb.select(F.col(id_col).alias("q"), F.col(vec_col).alias("vq"))
+    nv = emb.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("vn"))
+    scored = (
+        cands.join(F.broadcast(qv), "q").join(nv, "nb")
+        .select("q", "nb", cosine_col(F.col("vq"), F.col("vn")).alias("cosine"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "nb", "cosine", "rank")
+    )

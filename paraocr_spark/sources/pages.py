@@ -151,6 +151,45 @@ def gen_pages_pdf(start: int, end: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
+_WRAP_PRE = (
+    '<html><head><title>t</title></head><body>'
+    '<nav><a href="/">home</a> <a href="/blog">blog</a> <a href="/about">about</a></nav>'
+    "<article><p>"
+)
+_WRAP_POST = "</p></article><footer>fine print copyright notice</footer></body></html>"
+
+
+def pages_from_documents(docs, mode: str = "html"):
+    """Bridge the driver's ``documents`` table into the pages schema.
+
+    mode='html'   -> text wrapped in boilerplate HTML (nav/footer noise),
+                     ``text`` column NULL: exercises the html_extract route;
+                     extraction must recover exactly the original text.
+    mode='native' -> ``text`` column populated, html NULL: exercises the
+                     fast-path gate (native_text when it passes, in-band
+                     error when it doesn't).
+
+    Built entirely from Spark expressions so Catalyst can pipeline it with
+    the scan (no Python between parquet and the kernel).
+    """
+    from pyspark.sql import functions as F
+
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+    ).alias("url")
+    warc_ts = F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 137).alias("warc_ts")
+    if mode == "html":
+        html = F.concat(F.lit(_WRAP_PRE), F.col("text"), F.lit(_WRAP_POST)).cast("binary").alias("html")
+        text = F.lit(None).cast("string").alias("text")
+    elif mode == "native":
+        html = F.lit(None).cast("binary").alias("html")
+        text = F.col("text").alias("text")
+    else:
+        raise ValueError(mode)
+    return docs.select(url, warc_ts, html, text, F.col("lang"))
+
+
 def pages_df(spark, n: int, partitions: int = 32):
     """Distributed deterministic pages table: spark.range -> mapInPandas."""
 
