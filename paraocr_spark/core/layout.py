@@ -96,19 +96,50 @@ def extract_layout(payload: bytes) -> tuple[str, list[tuple[int, int]]]:
     return PAGE_BREAK.join(page_texts), spans
 
 
+def _page_offsets(payload: bytes) -> list[int]:
+    """Byte offsets of each page record (no text decode — pure scan)."""
+    if not payload.startswith(MAGIC):
+        raise ValueError("bad magic")
+    off = len(MAGIC)
+    (n_pages,) = struct.unpack_from("<H", payload, off)
+    off += 2
+    offsets = []
+    for _ in range(n_pages):
+        offsets.append(off)
+        if off + 2 > len(payload):
+            raise ValueError("truncated layout payload")
+        (n_lines,) = struct.unpack_from("<H", payload, off)
+        off += 2
+        for _ in range(n_lines):
+            if off + 10 > len(payload):
+                raise ValueError("truncated layout payload")
+            (ln,) = struct.unpack_from("<H", payload, off + 8)
+            off += 10 + ln
+            if off > len(payload):
+                raise ValueError("truncated layout payload")
+    offsets.append(off)
+    return offsets
+
+
 def split_layout_pages(payload: bytes, pages_per_shard: int) -> list[bytes]:
-    """Re-encode a layout doc as N smaller layout docs of <= pages_per_shard.
+    """Slice a layout doc into shard docs of <= pages_per_shard pages.
 
     This is the skew salting primitive (SURVEY.md §7 step 5): a giant
     multi-page document is split into independently-extractable shards which
     the pipeline reassembles with a groupBy on url — fixing the reference's
     one-file-serializes gap (its batch attribution at parallel.py:42-49
-    gives one giant PDF to one worker).
+    gives one giant PDF to one worker). Splitting slices the ORIGINAL bytes
+    (offset scan only, no string decode/re-encode) so the salt pass is
+    cheap even for multi-MB documents.
     """
-    pages = decode_layout(payload)
-    if len(pages) <= pages_per_shard:
+    offs = _page_offsets(payload)
+    n_pages = len(offs) - 1
+    if n_pages <= pages_per_shard:
         return [payload]
-    return [
-        encode_layout(pages[i : i + pages_per_shard])
-        for i in range(0, len(pages), pages_per_shard)
-    ]
+    shards = []
+    for i in range(0, n_pages, pages_per_shard):
+        j = min(i + pages_per_shard, n_pages)
+        shards.append(
+            MAGIC + struct.pack("<H", j - i) + payload[offs[i] : offs[j]]
+        )
+    return shards

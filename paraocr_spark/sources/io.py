@@ -42,6 +42,11 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
         return
     (
         with_warc_bucket(df)
+        # co-locate each bucket in one task BEFORE the partitioned write:
+        # without this every task holds an open writer per bucket (buckets x
+        # tasks tiny files, writer memory, and a 6x wall-time hit measured
+        # at 24k docs)
+        .repartition(WARC_BUCKETS, F.col("warc_bucket"))
         .write.mode(mode)
         .partitionBy("warc_bucket")
         .parquet(path)

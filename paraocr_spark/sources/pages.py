@@ -61,13 +61,20 @@ def _nav_html(r: random.Random) -> str:
 
 
 def _clean_html(r: random.Random) -> str:
+    # Sized like real web pages (~20-60 paragraphs, tens of KB) so the
+    # parse cost per document is representative of Common-Crawl HTML —
+    # benchmarks on toy 2 KB pages are I/O-bound and mislead scaling runs.
     paras = "".join(
-        f"<p>{_htmlmod.escape(_sentence(r, r.randint(8, 30)))}</p>"
-        for _ in range(r.randint(1, 8))
+        f"<p>{_htmlmod.escape(_sentence(r, r.randint(15, 40)))}</p>"
+        for _ in range(r.randint(20, 60))
+    )
+    sidebar = "".join(
+        f'<aside><a href="/t{j}">{_sentence(r, 3)}</a></aside>' for j in range(6)
     )
     return (
         "<html><head><title>t</title></head><body>"
         + _nav_html(r)
+        + sidebar
         + f"<article><h1>{_htmlmod.escape(_sentence(r, 4))}</h1>{paras}</article>"
         + f"<footer>copyright {r.randint(1999, 2025)} example corp</footer>"
         + "</body></html>"
@@ -82,9 +89,12 @@ def _linkheavy_html(r: random.Random) -> str:
             f'<a href="/x{j}">{_sentence(r, 5)}</a> ' for j in range(r.randint(4, 8))
         )
         + f"{r.choice(_VOCAB)}</div>"
-        for _ in range(r.randint(2, 5))
+        for _ in range(r.randint(15, 40))
     )
-    real = f"<p>{_htmlmod.escape(_sentence(r, r.randint(10, 25)))}</p>"
+    real = "".join(
+        f"<p>{_htmlmod.escape(_sentence(r, r.randint(10, 30)))}</p>"
+        for _ in range(r.randint(5, 15))
+    )
     return f"<html><body>{_nav_html(r)}{link_blocks}<article>{real}</article></body></html>"
 
 
@@ -108,8 +118,8 @@ def _layout_payload(r: random.Random, n_pages: int) -> bytes:
     pages = []
     for _ in range(n_pages):
         lines = [
-            (float(r.randint(0, 600)), float(y * 12), _sentence(r, r.randint(4, 10)))
-            for y in range(r.randint(3, 10))
+            (float(r.randint(0, 600)), float(y * 12), _sentence(r, r.randint(6, 12)))
+            for y in range(r.randint(25, 50))
         ]
         r.shuffle(lines)  # arrive out of document order
         pages.append(lines)

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from paraocr_spark.core.reference import extract_document
 from paraocr_spark.operators.extract import extract_pages
-from paraocr_spark.operators.skew import salt_pages
+from paraocr_spark.operators.skew import giant_condition, salt_pages
 from paraocr_spark.sources.pages import gen_page, pages_df
 
 N = 500
@@ -55,9 +55,13 @@ def test_span_reconstruction(result_rows):
 
 def test_salting_actually_triggers(spark):
     # regression guard: giants must exceed the salt threshold
+    import pyspark.sql.functions as F
+
     pg = pages_df(spark, 80, 8)  # includes i=9 (layout) and i=49 (giant)
+    giants = pg.where(F.coalesce(giant_condition(), F.lit(False)))
+    assert giants.count() >= 1, "fixture must contain giant docs"
     counts = {r.n_shards: r["count"] for r in
-              salt_pages(pg).groupBy("n_shards").count().collect()}
+              salt_pages(giants).groupBy("n_shards").count().collect()}
     assert any(k > 1 for k in counts), counts
 
 
