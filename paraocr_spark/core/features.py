@@ -1,0 +1,103 @@
+"""Per-document feature extraction (training-data pipeline signals).
+
+Computed in the SAME kernel pass as extraction — one scan, one Arrow
+round-trip (the reference similarly computes its quality gate inline with
+extraction rather than as a second job, utils.py:107-138 called from
+parallel.py:295-307). Features are derived from the first FEATURE_CAP chars
+of the extracted text: quality signals saturate long before that, and the
+cap keeps giant documents O(1) here.
+
+Fields:
+    n_chars       total extracted length (uncapped)
+    n_tokens      whitespace tokens in the capped prefix
+    alpha_ratio   alphabetic char share, 4dp
+    stop_ratio    stopword share of tokens, 4dp
+    lang_pred     stopword-marker language guess (functions/text.py analog)
+    simhash       64-bit near-dup fingerprint (crc32-pair per token, +-1
+                  bit votes) — deterministic, mergeable only pre-vote, so
+                  it is computed on the capped prefix of the FINAL text
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+FEATURE_CAP = 50_000
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+_STOPWORDS = frozenset(
+    "the a an and or not of to in on at for with from by as is are was were".split()
+)
+
+LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is that for it with".split()),
+    "de": frozenset("der die das und ist nicht mit ein zu den".split()),
+    "es": frozenset("el la los que y un por con las del".split()),
+    "fr": frozenset("le les et des une du dans est pour sur".split()),
+}
+_LANG_ORDER = list(LANG_MARKERS)
+
+FEATURE_FIELDS = [
+    ("n_chars", "long"),
+    ("n_tokens", "long"),
+    ("alpha_ratio", "double"),
+    ("stop_ratio", "double"),
+    ("lang_pred", "string"),
+    ("simhash", "long"),
+]
+FEATURES_DDL = "struct<" + ",".join(f"{n}:{t}" for n, t in FEATURE_FIELDS) + ">"
+
+
+def _simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    hs = np.fromiter(
+        (
+            (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+            for b in (t.encode("utf-8") for t in tokens)
+        ),
+        dtype=np.uint64, count=len(tokens),
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out  # to signed int64
+
+
+def compute_features(text: str | None) -> dict:
+    """Serial oracle — must match the vectorized kernel exactly."""
+    if text is None:
+        return {"n_chars": 0, "n_tokens": 0, "alpha_ratio": 0.0,
+                "stop_ratio": 0.0, "lang_pred": "und", "simhash": 0}
+    cap = text[:FEATURE_CAP]
+    lower = cap.lower()
+    tokens = _TOKEN_RE.findall(lower)
+    n_tok = len(tokens)
+    alpha = len(_ALPHA_RE.findall(cap))
+    alpha_ratio = round(alpha / len(cap), 4) if cap else 0.0
+    stop = sum(1 for t in tokens if t in _STOPWORDS)
+    stop_ratio = round(stop / n_tok, 4) if n_tok else 0.0
+    scores = [sum(1 for t in tokens if t in LANG_MARKERS[l]) for l in _LANG_ORDER]
+    best = max(scores) if scores else 0
+    lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
+    return {
+        "n_chars": len(text),
+        "n_tokens": n_tok,
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "lang_pred": lang_pred,
+        "simhash": _simhash64(tokens),
+    }
+
+
+def compute_features_batch(texts: "pd.Series | list") -> list[dict]:
+    """Batch variant used inside the Arrow kernel (token loops stay per-doc
+    python — like every simhash implementation — but regex scans and ratio
+    math are single C calls per doc)."""
+    return [compute_features(t) for t in texts]

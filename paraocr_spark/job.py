@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-salt", action="store_true")
     p.add_argument("--master", default=None, help="override master (local[N] for bench)")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--repartition", action="store_true",
+                   help="round-robin repartition the input to --partitions "
+                   "before extracting. Only useful when the source's own "
+                   "partitioning is skewed/too coarse — an evenly-written "
+                   "parquet table needs no extra shuffle")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny extraction first so Python-worker import "
                    "cost and JIT are excluded from the timed run (the "
@@ -110,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = PipelineConfig(
             run_id=args.run_id, salt=not args.no_salt,
-            min_partitions=args.partitions,
+            min_partitions=args.partitions if args.repartition else None,
         )
         metrics = run_and_write(spark, pages, args.output, args.lineage, cfg, done)
         print(json.dumps({"run_id": args.run_id, **metrics}))

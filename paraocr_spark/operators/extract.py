@@ -48,9 +48,12 @@ from paraocr_spark.core.reference import (
     METHOD_NATIVE,
 )
 
+from paraocr_spark.core.features import FEATURES_DDL, compute_features
+
 EXTRACTED_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, extracted_text string, "
-    "spans array<struct<start:long,end:long>>, method string, error string"
+    "spans array<struct<start:long,end:long>>, method string, error string, "
+    f"features {FEATURES_DDL}"
 )
 
 _KERNEL_SCHEMA_DDL = (
@@ -141,6 +144,13 @@ def _extract_batch(pdf: pd.DataFrame, pid: int) -> pd.DataFrame:
             ext[idx], spans[idx] = None, []
             method[idx], error[idx] = METHOD_ERROR, f"html_error: {e!r}"
 
+    # per-doc training-data features, same pass (no second scan / job);
+    # shards of giants get theirs after reassembly (_merge_shard_group)
+    features = np.empty(n, dtype=object)
+    features[:] = [
+        None if is_shard[i] else compute_features(ext[i]) for i in range(n)
+    ]
+
     wall = time.perf_counter() - t0
     out = pd.DataFrame(
         {
@@ -151,6 +161,7 @@ def _extract_batch(pdf: pd.DataFrame, pid: int) -> pd.DataFrame:
             "spans": spans,
             "method": method,
             "error": error,
+            "features": features,
             "shard_id": pdf["shard_id"].to_numpy() if "shard_id" in pdf else 0,
             "n_shards": pdf["n_shards"].to_numpy() if "n_shards" in pdf else 1,
             "_pid": pid,
@@ -176,44 +187,85 @@ def extract_kernel(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=_KERNEL_SCHEMA_DDL)
 
 
-def _merge_shard_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Reassemble one giant doc's shards (deterministic shard_id order).
-
-    Byte-identical to the serial extractor on the unsplit doc: each shard's
-    pages are PAGE_BREAK-joined already, and shards re-join with PAGE_BREAK,
-    so merged text == extract_layout(all pages). Span offsets shift by the
-    running length.
-    """
-    pdf = pdf.sort_values("shard_id")
-    err_rows = pdf[pdf["error"].notna()]
-    first = pdf.iloc[0]
-    if len(err_rows):
-        e = err_rows.iloc[0]
-        return pd.DataFrame([{
-            "url": first["url"], "warc_ts": first["warc_ts"], "lang": first["lang"],
-            "extracted_text": None, "spans": [], "method": METHOD_ERROR,
-            "error": e["error"],
-            "_pid": int(first["_pid"]), "_doc_bytes": int(pdf["_doc_bytes"].sum()),
-            "_wall_s": float(pdf["_wall_s"].sum()),
-        }])
-    texts = list(pdf["extracted_text"])
-    merged = PAGE_BREAK.join(texts)
-    out_spans: list[dict] = []
-    offset = 0
-    for txt, sp in zip(texts, pdf["spans"]):
-        for s in sp:
-            out_spans.append({"start": int(s["start"]) + offset, "end": int(s["end"]) + offset})
-        offset += len(txt) + len(PAGE_BREAK)
-    return pd.DataFrame([{
-        "url": first["url"], "warc_ts": first["warc_ts"], "lang": first["lang"],
-        "extracted_text": merged, "spans": out_spans, "method": METHOD_LAYOUT,
-        "error": None,
-        "_pid": int(first["_pid"]), "_doc_bytes": int(pdf["_doc_bytes"].sum()),
-        "_wall_s": float(pdf["_wall_s"].sum()),
-    }])
-
-
 _MERGED_SCHEMA_DDL = EXTRACTED_SCHEMA_DDL + ", _pid int, _doc_bytes long, _wall_s double"
+_MERGED_COL_ORDER = [
+    "url", "warc_ts", "lang", "extracted_text", "spans", "method", "error",
+    "features", "_pid", "_doc_bytes", "_wall_s",
+]
+
+
+def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
+    """Reassemble giant-doc shards WITHOUT moving bytes through Python.
+
+    groupBy(url) + array_sort(collect_list(struct(shard_id, ...))) gives a
+    deterministic shard order (never shuffle order — SURVEY.md §7); the
+    merged text is a JVM-side concat_ws, and span offsets shift via a
+    higher-order aggregate() that carries a running offset. Only the final
+    per-doc feature computation (a 50 KB-capped prefix per giant) touches
+    Python, in a tiny second kernel over ~0.1% of documents.
+    """
+    pb = F.lit(PAGE_BREAK)
+    grouped = kernel_out.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("shard_id", "extracted_text", "spans", "error"))
+        ).alias("arr"),
+        F.first("warc_ts").alias("warc_ts"),
+        F.first("lang").alias("lang"),
+        F.min("_pid").alias("_pid"),
+        F.sum("_doc_bytes").alias("_doc_bytes"),
+        F.sum("_wall_s").alias("_wall_s"),
+    )
+    any_err = F.exists("arr", lambda x: x["error"].isNotNull())
+    first_err = F.filter("arr", lambda x: x["error"].isNotNull())[0]["error"]
+    merged_text = F.array_join(
+        F.transform("arr", lambda x: x["extracted_text"]), PAGE_BREAK
+    )
+    # running-offset span shift: acc = (offset so far, spans so far)
+    merged_spans = F.aggregate(
+        "arr",
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.expr("array()").cast("array<struct<start:long,end:long>>").alias("sp"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["off"] + F.length(x["extracted_text"]) + F.length(pb)).alias("off"),
+            F.concat(
+                acc["sp"],
+                F.transform(
+                    x["spans"],
+                    lambda s: F.struct(
+                        (s["start"] + acc["off"]).alias("start"),
+                        (s["end"] + acc["off"]).alias("end"),
+                    ),
+                ),
+            ).alias("sp"),
+        ),
+        lambda acc: acc["sp"],
+    )
+    merged = grouped.select(
+        "url", "warc_ts", "lang",
+        F.when(any_err, F.lit(None).cast("string")).otherwise(merged_text).alias("extracted_text"),
+        F.when(any_err, F.expr("array()").cast("array<struct<start:long,end:long>>"))
+         .otherwise(merged_spans).alias("spans"),
+        F.when(any_err, F.lit(METHOD_ERROR)).otherwise(F.lit(METHOD_LAYOUT)).alias("method"),
+        F.when(any_err, first_err).otherwise(F.lit(None).cast("string")).alias("error"),
+        "_pid", "_doc_bytes", "_wall_s",
+    )
+
+    # tiny second kernel: features over the merged giants only
+    def add_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paraocr_spark.core.features import compute_features
+
+        for b in batches:
+            if len(b):
+                b = b.copy()
+                b["features"] = [compute_features(t) for t in b["extracted_text"]]
+                yield b[_MERGED_COL_ORDER]
+
+    return merged.mapInPandas(add_features, schema=_MERGED_SCHEMA_DDL)
+
+
+
 
 
 def extract_pages(pages: DataFrame, *, salt: bool = True) -> DataFrame:
@@ -247,9 +299,5 @@ def extract_pages(pages: DataFrame, *, salt: bool = True) -> DataFrame:
     singles = extract_kernel(normal).drop("shard_id", "n_shards")
 
     giants = salt_pages(pages.where(F.coalesce(giant_cond, F.lit(False))))
-    sharded = (
-        extract_kernel(giants)
-        .groupBy("url")
-        .applyInPandas(_merge_shard_group, schema=_MERGED_SCHEMA_DDL)
-    )
+    sharded = _merge_shards_relational(extract_kernel(giants))
     return singles.unionByName(sharded)

@@ -27,7 +27,10 @@ from paraocr_spark.operators.lineage import config_fingerprint, lineage_rollup
 from paraocr_spark.operators.resume import filter_unprocessed
 from paraocr_spark.sources import io as pio
 
-EXTRACTED_COLS = ["url", "warc_ts", "lang", "extracted_text", "spans", "method", "error"]
+EXTRACTED_COLS = [
+    "url", "warc_ts", "lang", "extracted_text", "spans", "method", "error",
+    "features",
+]
 
 
 @dataclass

@@ -149,8 +149,9 @@ def gen_page(i: int) -> dict:
         html_b = _clean_html(r).encode("utf-8")  # present but short-circuited
     elif cls == 8:
         html_b = _layout_payload(r, r.randint(2, 6))
-    else:  # cls == 9: layout docs; every 40th is giant (skew)
-        n_pages = 400 if i % 40 == 9 else r.randint(3, 8)
+    else:  # cls == 9: layout docs; every 160th is giant (skew tail — real
+        # web corpora have ~0.1-1% documents at 100x median size)
+        n_pages = 400 if i % 160 == 9 else r.randint(3, 8)
         html_b = _layout_payload(r, n_pages)
 
     return {"url": url, "warc_ts": warc_ts, "html": html_b, "text": text, "lang": lang}

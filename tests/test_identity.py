@@ -31,6 +31,8 @@ def test_row_count_invariant(result_rows):
 
 
 def test_byte_identity_all_rows(result_rows):
+    from paraocr_spark.core.features import compute_features
+
     for row in result_rows:
         i = int(row.url.rsplit("/", 1)[1])
         p = gen_page(i)
@@ -40,6 +42,7 @@ def test_byte_identity_all_rows(result_rows):
         assert row.extracted_text == exp.extracted_text, i
         got_spans = [(s["start"], s["end"]) for s in row.spans]
         assert got_spans == exp.spans, i
+        assert row.features.asDict() == compute_features(exp.extracted_text), i
 
 
 def test_span_reconstruction(result_rows):
