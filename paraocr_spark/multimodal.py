@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct,
+exactly like the pages table's ``html`` column. The Spark-side plumbing —
+schema, batch shape, partitioning, vectorized UDF signatures — is real and
+tested; the actual codecs are STUBBED (no image/audio libraries in this
+container): ``decode_image_meta`` parses only deterministic synthetic
+headers, and ``extract_frames``/``resize`` raise NotImplementedError for
+non-synthetic payloads, with the Arrow plumbing unchanged.
+
+This mirrors the reference's own posture: its table/image page processors
+are placeholders (processors.py:117-128, 131-141 — "worker_process_image_page"
+returns a stub path), while the routing/batching around them is real.
+
+Synthetic media format (deterministic, FIXTURES-style):
+    magic  4 bytes  b"PIMG"
+    width  u16, height u16, channels u8, n_frames u16
+    payload: width*height*channels bytes per frame (truncated ok for tests)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMG_MAGIC = b"PIMG"
+
+MEDIA_META_DDL = (
+    "struct<kind:string,width:int,height:int,channels:int,n_frames:int,"
+    "bytes:long,valid:boolean>"
+)
+MEDIA_SCHEMA_DDL = f"media_id long, payload binary, meta {MEDIA_META_DDL}"
+
+
+def encode_image(width: int, height: int, channels: int = 3,
+                 n_frames: int = 1, fill: int = 127) -> bytes:
+    head = IMG_MAGIC + struct.pack("<HHBH", width, height, channels, n_frames)
+    return head + bytes([fill]) * (width * height * channels * n_frames)
+
+
+def decode_image_meta(payload: bytes | None) -> dict:
+    """Header-only parse — cheap, runs per element inside the Arrow batch."""
+    if not payload or payload[:4] != IMG_MAGIC or len(payload) < 11:
+        return {"kind": "unknown", "width": 0, "height": 0, "channels": 0,
+                "n_frames": 0, "bytes": len(payload or b""), "valid": False}
+    w, h, c, nf = struct.unpack_from("<HHBH", payload, 4)
+    return {"kind": "image", "width": w, "height": h, "channels": c,
+            "n_frames": nf, "bytes": len(payload), "valid": True}
+
+
+def decode_frame(payload: bytes, frame: int = 0) -> np.ndarray:
+    """Decode one frame to an HxWxC uint8 array (synthetic format only).
+
+    A real deployment swaps this for Pillow/opencv/ffmpeg — the UDF batch
+    shape around it does not change.
+    """
+    meta = decode_image_meta(payload)
+    if not meta["valid"]:
+        raise NotImplementedError(
+            "non-synthetic media codec not available in this environment"
+        )
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    off = 11 + frame * w * h * c
+    buf = payload[off : off + w * h * c]
+    if len(buf) < w * h * c:
+        raise ValueError("truncated frame")
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+
+
+def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the typed metadata struct via one vectorized pass.
+
+    mapInPandas (not a per-row UDF): one Python call per Arrow batch, the
+    same kernel pattern as extraction (operators/extract.py).
+    """
+    in_cols = df.columns
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = out_ddl + f", meta {MEDIA_META_DDL}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            b = b.copy()
+            b["meta"] = [
+                decode_image_meta(None if p is None else bytes(p))
+                for p in b[payload_col]
+            ]
+            yield b[in_cols + ["meta"]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def mean_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-media mean pixel value of frame 0 — the feature-extraction stub.
+
+    Real feature extractors (CLIP embeddings, mel spectrograms) drop into
+    the same batch loop; errors stay in-band like the text kernel.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            means, errs = [], []
+            for p in b[payload_col]:
+                try:
+                    arr = decode_frame(bytes(p))
+                    means.append(float(arr.mean()))
+                    errs.append(None)
+                except (NotImplementedError, ValueError) as e:
+                    means.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame({
+                "media_id": b["media_id"], "mean_pixel": means, "error": errs,
+            })
+
+    return df.mapInPandas(run, schema="media_id long, mean_pixel double, error string")

@@ -1,0 +1,107 @@
+"""Dedup operator correctness vs pure-Python oracles (sf0.001 documents)."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from paraocr_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def doc_texts(spark, docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+def _shingles(text, n=3):
+    ws = text.strip().split(" ")
+    if len(ws) < n:
+        return {text.strip()}
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _brute_pairs(doc_texts, threshold):
+    sh = {d: _shingles(t) for d, t in doc_texts.items()}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_ngram_jaccard_exact(spark, docs, doc_texts):
+    got = {(r.a, r.b): r.jaccard for r in
+           dedup.dedup_ngram_jaccard(docs, threshold=0.5).collect()}
+    assert got == _brute_pairs(doc_texts, 0.5)
+    assert len(got) > 0, "fixture should contain planted near-dups"
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs, doc_texts):
+    exact = _brute_pairs(doc_texts, 0.5)
+    got = {(r.a, r.b): r.jaccard for r in
+           dedup.dedup_minhash_lsh(docs, threshold=0.5).collect()}
+    # precision is exact by construction (candidates verified with true
+    # jaccard); recall at j>=0.9 is ~1.0 for 16 bands x 4 rows
+    assert set(got) <= set(exact)
+    high = {k for k, v in exact.items() if v >= 0.9}
+    assert high <= set(got)
+    for k in got:
+        assert got[k] == exact[k]
+
+
+def test_simhash_invariants(spark, docs, doc_texts):
+    """simhash uses Spark's xxhash64 (no pure-python twin), so the oracle is
+    behavioral: determinism, near-identical docs within hamming<=3, banding
+    completeness (pigeonhole: hamming<=3 pairs always share a 16-bit chunk)."""
+    got = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    got2 = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert got == got2  # deterministic across runs
+
+    pairs = {(r.a, r.b): r.hamming for r in dedup.dedup_simhash(docs, 3).collect()}
+
+    # banding found exactly what a full cross-product would (pigeonhole:
+    # hamming<=3 over 4 chunks of 16 bits => at least one chunk equal)
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(got)
+    brute = {
+        (a, b): hamming(got[a], got[b])
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if hamming(got[a], got[b]) <= 3
+    }
+    assert pairs == brute
+
+    # separation: planted near-dups sit much closer in hamming space than
+    # random pairs (simhash is count-sensitive, so an exact <=3 guarantee
+    # for jaccard>=0.9 does not hold on a 30-word vocabulary)
+    exact = _brute_pairs(doc_texts, 0.9)
+    dup_h = [hamming(got[a], got[b]) for a, b in exact]
+    import random
+
+    rng = random.Random(7)
+    rand_h = [
+        hamming(got[a], got[b])
+        for a, b in (rng.sample(ids, 2) for _ in range(200))
+    ]
+    assert sum(dup_h) / len(dup_h) < sum(rand_h) / len(rand_h) / 3
+
+
+def test_exact_dedup_counts(spark, docs):
+    rows = dedup.dedup_exact(docs).collect()
+    assert sum(r.n_copies for r in rows) == docs.count()
+    # synthetic documents at this sf have no exact dups
+    assert all(r.n_copies == 1 for r in rows)

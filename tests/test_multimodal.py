@@ -1,0 +1,47 @@
+"""Multimodal binary-column plumbing (codecs stubbed, Spark path real)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from paraocr_spark import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, mm.encode_image(4, 4, 3), None),
+        (1, mm.encode_image(8, 2, 1, n_frames=2), None),
+        (2, b"\x00\x01not-an-image", None),
+        (3, None, None),
+    ]
+    return spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], schema="media_id long, payload binary"
+    )
+
+
+def test_meta_extraction(spark, media_df):
+    got = {r.media_id: r.meta.asDict() for r in mm.with_media_meta(media_df).collect()}
+    assert got[0] == {"kind": "image", "width": 4, "height": 4, "channels": 3,
+                      "n_frames": 1, "bytes": len(mm.encode_image(4, 4, 3)),
+                      "valid": True}
+    assert got[1]["n_frames"] == 2 and got[1]["channels"] == 1
+    assert got[2]["valid"] is False and got[2]["kind"] == "unknown"
+    assert got[3]["valid"] is False and got[3]["bytes"] == 0
+
+
+def test_mean_pixel_features(spark, media_df):
+    got = {r.media_id: r for r in mm.mean_pixel_features(
+        media_df.where(F.col("payload").isNotNull())).collect()}
+    assert got[0].mean_pixel == 127.0 and got[0].error is None
+    # non-synthetic payload -> in-band NotImplementedError message, no crash
+    assert got[2].mean_pixel is None
+    assert "codec" in got[2].error
+
+
+def test_decode_frame_shapes():
+    arr = mm.decode_frame(mm.encode_image(6, 3, 3))
+    assert arr.shape == (3, 6, 3)
+    with pytest.raises(NotImplementedError):
+        mm.decode_frame(b"JUNK")
+    with pytest.raises(ValueError):
+        mm.decode_frame(mm.encode_image(6, 3, 3)[:-5])

@@ -1,0 +1,79 @@
+"""Similarity search vs numpy brute-force oracle (sf0.001 embeddings)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paraocr_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, M
+
+
+def _cos_matrix(M):
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_neardup_pairs_match_numpy(spark, emb, vecs):
+    ids, M = vecs
+    S = np.round(_cos_matrix(M), 4)
+    got = {(r.a, r.b): r.cosine for r in
+           similarity.neardup_pairs(emb, threshold=0.35).collect()}
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.35:
+                exp[(int(ids[i]), int(ids[j]))] = float(S[i, j])
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_ann_topk_bruteforce_match(spark, emb, vecs):
+    ids, M = vecs
+    S = np.round(_cos_matrix(M), 4)
+    got = {}
+    for r in similarity.ann_topk_bruteforce(emb, k=5, n_queries=10).collect():
+        got.setdefault(r.q, []).append((r.rank, r.nb, r.cosine))
+    for q, lst in got.items():
+        lst.sort()
+        qi = int(np.where(ids == q)[0][0])
+        order = sorted(
+            ((float(S[qi, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exp = order[:5]  # (cosine, nb) ranked desc-cosine, asc-id
+        assert [nb for _, nb, _ in lst] == [nb for _, nb in exp]
+        for (_, _, c), (s, _) in zip(lst, exp):
+            assert c == pytest.approx(s, abs=1e-9)
+
+
+def test_ann_lsh_candidates_subset_and_reranked(spark, emb, vecs):
+    ids, M = vecs
+    S = np.round(_cos_matrix(M), 4)
+    rows = similarity.ann_topk_lsh(emb, k=5, n_queries=10).collect()
+    assert rows, "LSH should produce candidates"
+    for r in rows:
+        qi = int(np.where(ids == r.q)[0][0])
+        ni = int(np.where(ids == r.nb)[0][0])
+        # cosine of every returned pair is the exact (rounded) value
+        assert r.cosine == pytest.approx(float(S[qi, ni]), abs=1e-9)
+    # ranks are contiguous from 1 per query
+    byq = {}
+    for r in rows:
+        byq.setdefault(r.q, []).append(r.rank)
+    for q, ranks in byq.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

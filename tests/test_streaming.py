@@ -1,0 +1,59 @@
+"""Structured Streaming: foreachBatch extraction + watermarked metrics."""
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from paraocr_spark.pipeline import PipelineConfig
+from paraocr_spark.sources.pages import pages_df
+from paraocr_spark.streaming.extract_stream import (
+    extract_stream,
+    method_counts_stream,
+    read_pages_stream,
+)
+
+
+def test_streaming_extract_availablenow(spark, tmp_path: pathlib.Path):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    pages_df(spark, 120, 4).write.mode("overwrite").parquet(src)
+
+    q = extract_stream(spark, src, out, ckpt,
+                       PipelineConfig(run_id="s1"), available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 120
+    assert got.select("url").distinct().count() == 120
+
+    # restart with no new files: checkpoint means nothing reprocessed
+    q2 = extract_stream(spark, src, out, ckpt,
+                        PipelineConfig(run_id="s2"), available_now=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 120
+
+    # new files arrive -> only they are processed on the next run
+    pages_df(spark, 40, 2).withColumn(
+        "url", F.concat(F.lit("late-"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    q3 = extract_stream(spark, src, out, ckpt,
+                        PipelineConfig(run_id="s3"), available_now=True)
+    q3.awaitTermination(300)
+    final = spark.read.parquet(out)
+    assert final.count() == 160
+    assert final.where(F.col("url").startswith("late-")).count() == 40
+
+
+def test_method_counts_stream(spark, tmp_path: pathlib.Path):
+    src = str(tmp_path / "pages_in")
+    pages_df(spark, 100, 4).write.mode("overwrite").parquet(src)
+    agg = method_counts_stream(read_pages_stream(spark, src))
+    q = (
+        agg.writeStream.format("memory").queryName("mc")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from mc").collect()
+    assert sum(r.n for r in rows) == 100
+    routes = {r.route for r in rows}
+    assert "html" in routes and "layout" in routes
