@@ -63,6 +63,24 @@ def _q_extract_fastpath_gate(spark, sf_dir):
     return extract_pages(pages, salt=False).select("url", "method", "error")
 
 
+def _q_extract_features(spark, sf_dir):
+    """Kernel feature stage (tokens/quality/lang-id computed in the same
+    Arrow pass as extraction; core/features.py). simhash is excluded here —
+    it has no SQL twin (crc32) and is covered by pytest invariants."""
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(_docs(spark, sf_dir), "html")
+    return extract_pages(pages, salt=False).select(
+        "url",
+        F.col("features.n_chars").alias("n_chars"),
+        F.col("features.n_tokens").alias("n_tokens"),
+        F.col("features.alpha_ratio").alias("alpha_ratio"),
+        F.col("features.stop_ratio").alias("stop_ratio"),
+        F.col("features.lang_pred").alias("lang_pred"),
+    )
+
+
 def _q_resume_anti_join(spark, sf_dir):
     """S4 resume anti-join (cli.py:227-231 analog)."""
     from paraocr_spark.operators.resume import filter_unprocessed
@@ -241,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": _q_extract_html_roundtrip,
         "extract_fastpath_gate": _q_extract_fastpath_gate,
+        "extract_features": _q_extract_features,
         "resume_anti_join": _q_resume_anti_join,
         "lineage_rollup": _q_lineage_rollup,
         "page_assembly": _q_page_assembly,
@@ -311,6 +330,43 @@ def _gate_sql() -> tuple[str, str]:
     return valid_ratio, dict_ratio
 
 
+def _features_oracle_sql() -> str:
+    """DuckDB twin of core/features.py over the html-roundtrip text
+    (extracted_text == whitespace-normalized documents.text)."""
+    from paraocr_spark.core.features import LANG_MARKERS, _STOPWORDS
+
+    cap = "substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 50000)"
+    toks = f"regexp_extract_all(lower({cap}), '[a-z0-9]+')"
+    stop = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    alpha = f"length(regexp_replace({cap}, '[^A-Za-z]', '', 'g'))"
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        m = ", ".join(f"'{w}'" for w in sorted(markers))
+        hits[lang] = f"len(list_filter(toks, t -> t in ({m})))"
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"when {hits[lang]} > 0 and {hits[lang]} = {greatest} then '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+with t as (
+  select {_URL} as url,
+         length(regexp_replace(trim(text), '\\s+', ' ', 'g')) as n_chars,
+         {cap} as cap, {toks} as toks, {alpha} as alpha
+  from documents
+)
+select url, n_chars,
+       len(toks) as n_tokens,
+       case when length(cap) > 0
+            then round(alpha::double / length(cap), 4) else 0.0 end as alpha_ratio,
+       case when len(toks) > 0
+            then round(len(list_filter(toks, t -> t in ({stop})))::double / len(toks), 4)
+            else 0.0 end as stop_ratio,
+       case {cases} else 'und' end as lang_pred
+from t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from paraocr_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
 
@@ -372,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
             f"case when {gate} then NULL else 'no_content' end as error "
             "from documents"
         ),
+        "extract_features": _features_oracle_sql(),
         "resume_anti_join": (
             f"select {_URL} as url from documents where doc_id % 3 <> 0"
         ),

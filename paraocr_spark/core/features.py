@@ -28,6 +28,15 @@ import pandas as pd
 
 FEATURE_CAP = 50_000
 
+
+def _round4(x: float) -> float:
+    """Round half UP at 4dp — matching SQL engines (Spark/DuckDB round),
+    not Python's banker's rounding; ratios of small integers hit exact
+    halves (e.g. 1/32) where the two modes differ."""
+    import math
+
+    return math.floor(x * 10_000 + 0.5) / 10_000
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 
@@ -80,9 +89,9 @@ def compute_features(text: str | None) -> dict:
     tokens = _TOKEN_RE.findall(lower)
     n_tok = len(tokens)
     alpha = len(_ALPHA_RE.findall(cap))
-    alpha_ratio = round(alpha / len(cap), 4) if cap else 0.0
+    alpha_ratio = _round4(alpha / len(cap)) if cap else 0.0
     stop = sum(1 for t in tokens if t in _STOPWORDS)
-    stop_ratio = round(stop / n_tok, 4) if n_tok else 0.0
+    stop_ratio = _round4(stop / n_tok) if n_tok else 0.0
     scores = [sum(1 for t in tokens if t in LANG_MARKERS[l]) for l in _LANG_ORDER]
     best = max(scores) if scores else 0
     lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]

@@ -1,0 +1,117 @@
+"""Physical-plan audits: the plan shape IS the 100 TB contract.
+
+These pin the Catalyst properties the engine relies on at scale:
+filter/column pushdown into parquet scans, broadcast of small join sides,
+map-side partial aggregation, and no Python in relational-only paths.
+A regression here won't fail a 500-row correctness test — it fails at 100 TB.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_filter_and_column_pushdown(spark, docs):
+    q = docs.where(F.col("lang") == "de").select("doc_id", "n_chars")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]" in p
+    # column pruning: text (the wide column) must NOT be read
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in p
+
+
+def test_resume_anti_join_prunes_and_pushes(spark, docs):
+    from paraocr_spark.operators.resume import filter_unprocessed
+    from paraocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(docs, "html")
+    done = pages_from_documents(docs.where(F.col("doc_id") % 3 == 0), "html").select("url")
+    p = plan_of(filter_unprocessed(pages, done))
+    # small done-side broadcasts; anti join never shuffles the big side
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_ann_query_broadcasts_queries(spark):
+    from paraocr_spark.operators.similarity import ann_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(ann_topk_bruteforce(emb, k=5, n_queries=10))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dedup_exact_partial_agg(spark, docs):
+    from paraocr_spark.operators.dedup import dedup_exact
+
+    p = plan_of(dedup_exact(docs))
+    # map-side combine before the exchange (two HashAggregate stages)
+    assert p.count("HashAggregate") >= 2
+    assert "partial_min" in p or "partial_count" in p
+    # fingerprints are JVM expressions: no Python evaluation anywhere
+    assert "Python" not in p
+
+
+def test_minhash_partial_min_and_no_python(spark, docs):
+    from paraocr_spark.operators.dedup import minhash_signatures, with_shingles
+
+    p = plan_of(minhash_signatures(with_shingles(docs)))
+    assert "partial_min" in p
+    assert "Python" not in p  # signature path is pure JVM expressions
+
+
+def test_simhash_no_python(spark, docs):
+    from paraocr_spark.operators.dedup import simhash64
+
+    p = plan_of(simhash64(docs))
+    assert "Python" not in p
+    assert "xxhash64" in p.lower()
+
+
+def test_kernel_no_shuffle_for_normal_docs(spark):
+    """The extraction kernel on non-giant docs is shuffle-free: scan ->
+    ArrowEvalPython/MapInPandas -> project. Any Exchange here would shuffle
+    the full corpus at 100 TB."""
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = pages_from_documents(docs, "html")
+    p = plan_of(extract_pages(pages, salt=False))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_lineage_rollup_partial_agg(spark):
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.operators.lineage import lineage_rollup
+    from paraocr_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = extract_pages(pages_from_documents(docs, "html"), salt=False)
+    p = plan_of(lineage_rollup(out, "r", "f"))
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_relational_quality_gate_stays_jvm(spark, docs):
+    from paraocr_spark.functions.text import quality_gate, quality_score
+
+    q = docs.select(quality_score(F.col("text")), quality_gate(F.col("text")))
+    p = plan_of(q)
+    assert "Python" not in p
+    # only the text column is read (higher-order lambdas keep this JVM-side
+    # but outside whole-stage codegen — still no Python worker involved)
+    assert "ReadSchema: struct<text:string>" in p
