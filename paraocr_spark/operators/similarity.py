@@ -49,18 +49,52 @@ def cosine_col(a, b):
 
 
 def neardup_pairs(emb: DataFrame, threshold: float,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine near-dup pairs >= threshold (brute force, a < b).
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  block: int = 1024) -> DataFrame:
+    """Exact cosine near-dup pairs >= threshold (a < b), blocked matmul.
 
-    At scale, swap the inner join for ann LSH candidates + this rerank.
+    The naive crossJoin evaluates an interpreted higher-order-function dot
+    product per pair (measured 68 s for a 2k x 2k corpus). Instead: assign
+    each vector a block id, join BLOCK pairs (upper triangle — |blocks|^2/2
+    rows, not |vectors|^2/2), and compute each block-pair's full cosine
+    matrix with one float64 numpy matmul inside an Arrow batch. Exact, not
+    approximate; scales to ~10^5 vectors — beyond that, prefilter candidates
+    with lsh_signatures and rerank (ann_topk_lsh pattern).
     """
-    x = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    y = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        x.join(y, F.col("a") < F.col("b"))
-        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    import pandas as pd
+
+    blocks = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("blk", (F.col("id") / block).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
     )
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.items").alias("ia"), F.col("y.items").alias("ib"),
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for ia_items, ib_items in zip(pdf["ia"], pdf["ib"]):
+                aid = np.array([r["id"] for r in ia_items], dtype=np.int64)
+                bid = np.array([r["id"] for r in ib_items], dtype=np.int64)
+                A = np.array([r["v"] for r in ia_items], dtype=np.float64)
+                B = np.array([r["v"] for r in ib_items], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                S = np.round(A @ B.T, 4)
+                i, j = np.nonzero(S >= threshold)
+                keep = aid[i] < bid[j]
+                yield pd.DataFrame({
+                    "a": aid[i][keep], "b": bid[j][keep],
+                    "cosine": S[i, j][keep],
+                })
+
+    return pairs.mapInPandas(score, schema="a long, b long, cosine double")
 
 
 def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
