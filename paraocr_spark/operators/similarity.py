@@ -101,16 +101,51 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for the first n_queries vectors.
 
-    Query side is tiny -> broadcast join; ranking deterministic:
-    (cosine desc, neighbor asc) on the 4dp-rounded cosine.
+    Two-phase top-k: the (small) query matrix is broadcast as a numpy array;
+    each Arrow batch of candidates computes a float64 matmul against it and
+    emits only its LOCAL top-k per query, so the shuffle carries
+    O(partitions x queries x k) rows — never the full score matrix. A final
+    window takes the global top-k. Ranking is deterministic:
+    (4dp-rounded cosine desc, neighbor id asc).
     """
-    q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q"), F.col(vec_col).alias("vq")
+    import pandas as pd
+
+    q_rows = (
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q"), F.col(vec_col).alias("vq"))
+        .collect()
     )
-    c = emb.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("vn"))
-    scored = (
-        F.broadcast(q).join(c, F.col("q") != F.col("nb"))
-        .select("q", "nb", cosine_col(F.col("vq"), F.col("vn")).alias("cosine"))
+    q_ids = np.array([r.q for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r.vq) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Q))
+
+    def local_topk(batches):
+        ids_b, Qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nb = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(M @ Qn.T, 4)  # (batch, queries)
+            out_q, out_nb, out_c = [], [], []
+            for qi in range(len(ids_b)):
+                col = S[:, qi]
+                mask = nb != ids_b[qi]
+                cand_nb, cand_c = nb[mask], col[mask]
+                if not len(cand_nb):
+                    continue
+                # local top-k with deterministic (cosine desc, nb asc) order
+                order = np.lexsort((cand_nb, -cand_c))[:k]
+                out_q.extend([ids_b[qi]] * len(order))
+                out_nb.extend(cand_nb[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame({"q": out_q, "nb": out_nb, "cosine": out_c})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="q long, nb long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
     return (

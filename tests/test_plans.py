@@ -46,12 +46,20 @@ def test_resume_anti_join_prunes_and_pushes(spark, docs):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
-def test_ann_query_broadcasts_queries(spark):
+def test_ann_topk_two_phase(spark):
+    """ANN brute force: queries broadcast as numpy, candidates matmul'd per
+    batch with LOCAL top-k — the only Exchange is the tiny final window
+    (partitions x queries x k rows), never the full score matrix."""
     from paraocr_spark.operators.similarity import ann_topk_bruteforce
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     p = plan_of(ann_topk_bruteforce(emb, k=5, n_queries=10))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    import re
+
+    assert "MapInPandas" in p
+    assert "Join" not in p  # no crossjoin of candidates x queries
+    # just the window's hashpartition(q) — one Exchange node in the tree
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
 
 def test_dedup_exact_partial_agg(spark, docs):
