@@ -25,6 +25,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from paraocr_spark.functions.text import fingerprint
 
@@ -86,28 +87,44 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 # ------------------------------------------------------ exact n-gram join
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, max_df: int | None = None) -> DataFrame:
-    """EXACT jaccard near-dup pairs via inverted-index join.
+                        n: int = 3, prefix_filter: bool = True) -> DataFrame:
+    """EXACT jaccard near-dup pairs via a prefix-filtered inverted-index join
+    (PPJoin-style set-similarity join; Xiao et al., WWW'08 — public
+    algorithm).
 
-    Plan: shingle -> explode -> self-join on shingle (only docs sharing at
-    least one shingle ever meet — no cross join) -> count common shingles
-    per pair -> jaccard filter. ``max_df`` drops ubiquitous shingles to tame
-    the quadratic candidate blowup at scale (changes recall only for pairs
-    whose entire overlap is ubiquitous shingles).
+    Prefix-filter theorem: order every doc's shingles by one global total
+    order (ascending document frequency, rarest first, ties by value); two
+    sets with jaccard >= t MUST share a token inside each one's first
+    |x| - ceil(t*|x|) + 1 tokens. So only prefixes are exploded into the
+    inverted index — rare tokens generate tiny candidate buckets, and
+    ubiquitous shingles (the quadratic blowup at web scale) mostly fall
+    outside prefixes. Candidates are then verified with the exact jaccard,
+    so results are identical to the naive join, just cheaper.
     """
     sh = with_shingles(docs, id_col, text_col, n).persist()
     ex = sh.select("id", F.explode("sh").alias("s"))
-    if max_df is not None:
+    if prefix_filter:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(freq.where(F.col("df") <= max_df).select("s"), "s")
+        ranked = (
+            ex.join(freq, "s")
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+                ),
+            )
+            .join(sh.select("id", F.size("sh").alias("sz")), "id")
+            .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+            .select("id", "s")
+        )
+        ex = ranked
     lhs = ex.select(F.col("id").alias("a"), "s")
     rhs = ex.select(F.col("id").alias("b"), "s")
     pairs = (
         lhs.join(rhs, "s")
         .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
     out = _exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
     return out
