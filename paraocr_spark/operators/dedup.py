@@ -14,9 +14,9 @@ Four families, all shuffle-conscious:
 Everything is pyspark.sql built-ins — zero Python UDFs — so Catalyst sees
 the whole plan: shuffles are keyed on doc_id or band hashes, partial
 aggregation happens map-side, and AQE handles skewed shingle frequencies.
-At 100 TB the ngram-jaccard inverted index needs a max-document-frequency
-cut on shingles (drop shingles appearing in > df_max docs — they produce
-quadratic candidate blowup); exposed as ``max_df``.
+At 100 TB the ngram-jaccard inverted index needs prefix filtering (PPJoin;
+``dedup_ngram_jaccard(prefix_filter=True)``) so ubiquitous shingles — the
+quadratic candidate blowup — never enter the index.
 """
 
 from __future__ import annotations
@@ -87,12 +87,19 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 # ------------------------------------------------------ exact n-gram join
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, prefix_filter: bool = True) -> DataFrame:
+                        n: int = 3, prefix_filter: bool = False) -> DataFrame:
     """EXACT jaccard near-dup pairs via a prefix-filtered inverted-index join
     (PPJoin-style set-similarity join; Xiao et al., WWW'08 — public
     algorithm).
 
-    Prefix-filter theorem: order every doc's shingles by one global total
+    Two modes, identical results:
+
+    * ``prefix_filter=False`` (default): full inverted-index join; the
+      per-pair match count IS the exact intersection, so jaccard falls out
+      of a size join with no verification pass. Optimal until ubiquitous
+      shingles make the index quadratic.
+    * ``prefix_filter=True``: the web-scale mode.
+      Prefix-filter theorem: order every doc's shingles by one global total
     order (ascending document frequency, rarest first, ties by value); two
     sets with jaccard >= t MUST share a token inside each one's first
     |x| - ceil(t*|x|) + 1 tokens. So only prefixes are exploded into the
@@ -102,10 +109,14 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     so results are identical to the naive join, just cheaper.
     """
     sh = with_shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select("id", F.explode("sh").alias("s"))
+    lhs = ex.select(F.col("id").alias("a"), "s")
+    rhs = ex.select(F.col("id").alias("b"), "s")
+
     if prefix_filter:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ranked = (
+        prefix = (
             ex.join(freq, "s")
             .withColumn(
                 "pos",
@@ -113,21 +124,42 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                     Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
                 ),
             )
-            .join(sh.select("id", F.size("sh").alias("sz")), "id")
+            .join(sizes, "id")
             .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
             .select("id", "s")
         )
-        ex = ranked
-    lhs = ex.select(F.col("id").alias("a"), "s")
-    rhs = ex.select(F.col("id").alias("b"), "s")
+        cands = (
+            prefix.select(F.col("id").alias("a"), "s")
+            .join(prefix.select(F.col("id").alias("b"), "s"), "s")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+        return _exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+
+    # full inverted index: the per-pair match count IS the exact
+    # intersection size — jaccard needs only the two set sizes, no
+    # array_intersect verification pass
     pairs = (
         lhs.join(rhs, "s")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = _exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
-    return out
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # --------------------------------------------------------------- minhash

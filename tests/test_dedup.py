@@ -49,6 +49,14 @@ def test_ngram_jaccard_exact(spark, docs, doc_texts):
     assert len(got) > 0, "fixture should contain planted near-dups"
 
 
+def test_prefix_filter_mode_identical(spark, docs):
+    plain = {(r.a, r.b): r.jaccard for r in
+             dedup.dedup_ngram_jaccard(docs, 0.5, prefix_filter=False).collect()}
+    pf = {(r.a, r.b): r.jaccard for r in
+          dedup.dedup_ngram_jaccard(docs, 0.5, prefix_filter=True).collect()}
+    assert plain == pf and plain
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs, doc_texts):
     exact = _brute_pairs(doc_texts, 0.5)
     got = {(r.a, r.b): r.jaccard for r in
