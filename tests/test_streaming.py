@@ -57,3 +57,42 @@ def test_method_counts_stream(spark, tmp_path: pathlib.Path):
     assert sum(r.n for r in rows) == 100
     routes = {r.route for r in rows}
     assert "html" in routes and "layout" in routes
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    from paraocr_spark.streaming.stateful import dedup_pages_stream
+
+    src = str(tmp_path / "pages_dup")
+    pages_df(spark, 50, 2).write.mode("overwrite").parquet(src)
+    # write the same 50 urls again: stream must emit each url once
+    pages_df(spark, 50, 2).write.mode("append").parquet(src)
+    q = (
+        dedup_pages_stream(read_pages_stream(spark, src))
+        .select("url")
+        .writeStream.format("memory").queryName("dd")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select url from dd").collect()
+    assert len(rows) == 50
+    assert len({r.url for r in rows}) == 50
+
+
+def test_site_stats_stateful_operator(spark, tmp_path):
+    from paraocr_spark.streaming.stateful import site_stats_stream
+
+    src = str(tmp_path / "pages_sites")
+    pages_df(spark, 80, 2).write.mode("overwrite").parquet(src)
+    q = (
+        site_stats_stream(read_pages_stream(spark, src))
+        .writeStream.format("memory").queryName("ss")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from ss").collect()
+    # 50 sites in the generator url scheme; 80 docs cover at most 50
+    sites = {r.site for r in rows}
+    assert sites and all(s.endswith(".example") for s in sites)
+    # one availableNow batch -> one state row per site; totals cover all docs
+    latest = {r.site: r for r in rows}
+    assert sum(r.docs for r in latest.values()) == 80
