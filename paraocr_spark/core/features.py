@@ -63,20 +63,43 @@ FEATURE_FIELDS = [
 FEATURES_DDL = "struct<" + ",".join(f"{n}:{t}" for n, t in FEATURE_FIELDS) + ">"
 
 
+# token -> 64-bit hash memo, shared across documents in a worker process
+# (token distributions are Zipfian: most crc32 work repeats otherwise)
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_CAP = 1_000_000
+
+
+def _token_hashes(uniq: np.ndarray) -> np.ndarray:
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    memo = _HASH_MEMO
+    for i, t in enumerate(uniq):
+        h = memo.get(t)
+        if h is None:
+            b = t.encode("utf-8")
+            h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+            if len(memo) < _HASH_MEMO_CAP:
+                memo[t] = h
+        hs[i] = h
+    return hs
+
+
+def _simhash64_counted(uniq: np.ndarray, counts: np.ndarray) -> int:
+    """SimHash from unique tokens + multiplicities. Identical to the
+    per-token formulation: votes are linear in token counts."""
+    if not len(uniq):
+        return 0
+    hs = _token_hashes(uniq)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out  # to signed int64
+
+
 def _simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (
-            (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
-            for b in (t.encode("utf-8") for t in tokens)
-        ),
-        dtype=np.uint64, count=len(tokens),
-    )
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-    return out - (1 << 64) if out >= (1 << 63) else out  # to signed int64
+    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+    return _simhash64_counted(uniq, counts)
 
 
 def compute_features(text: str | None) -> dict:
@@ -90,18 +113,27 @@ def compute_features(text: str | None) -> dict:
     n_tok = len(tokens)
     alpha = len(_ALPHA_RE.findall(cap))
     alpha_ratio = _round4(alpha / len(cap)) if cap else 0.0
-    stop = sum(1 for t in tokens if t in _STOPWORDS)
-    stop_ratio = _round4(stop / n_tok) if n_tok else 0.0
-    scores = [sum(1 for t in tokens if t in LANG_MARKERS[l]) for l in _LANG_ORDER]
-    best = max(scores) if scores else 0
-    lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
+    if n_tok:
+        uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+        uset = {t: int(c) for t, c in zip(uniq, counts)}
+        stop = sum(c for t, c in uset.items() if t in _STOPWORDS)
+        stop_ratio = _round4(stop / n_tok)
+        scores = [
+            sum(c for t, c in uset.items() if t in LANG_MARKERS[l])
+            for l in _LANG_ORDER
+        ]
+        best = max(scores)
+        lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
+        simhash = _simhash64_counted(uniq, counts)
+    else:
+        stop_ratio, lang_pred, simhash = 0.0, "und", 0
     return {
         "n_chars": len(text),
         "n_tokens": n_tok,
         "alpha_ratio": alpha_ratio,
         "stop_ratio": stop_ratio,
         "lang_pred": lang_pred,
-        "simhash": _simhash64(tokens),
+        "simhash": simhash,
     }
 
 
