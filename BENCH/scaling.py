@@ -125,10 +125,18 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
     return json.loads(line)
 
 
+def best_of(n_trials: int, *args) -> dict:
+    """Best throughput of n_trials runs — identical runs vary 2-3x on this
+    shared-kernel host (BENCH/BASELINE.md forensics), so single samples
+    cannot be compared; best-of-N is the standard mitigation."""
+    results = [run_level(*args) for _ in range(n_trials)]
+    return max(results, key=lambda r: r["docs_per_sec"])
+
+
 def pair(name: str, executor_cores: int, zpath: str, pages: str, tmp: str) -> dict:
     n_cores = executor_cores
-    res_n = run_level(executor_cores, n_cores, zpath, pages, tmp)
-    res_4n = run_level(executor_cores, n_cores * 4, zpath, pages, tmp)
+    res_n = best_of(2, executor_cores, n_cores, zpath, pages, tmp)
+    res_4n = best_of(2, executor_cores, n_cores * 4, zpath, pages, tmp)
     eff = (res_4n["docs_per_sec"] / res_n["docs_per_sec"]) / 4.0
     return {
         "name": name,

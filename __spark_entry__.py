@@ -171,6 +171,16 @@ def _q_ann_topk(spark, sf_dir):
     return ann_topk_bruteforce(emb, k=5, n_queries=20)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN with full probing (n_probe == n_centroids) — exact, so it
+    shares the brute-force oracle; partial probing is the approximate scale
+    path (recall tested in pytest)."""
+    from paraocr_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(emb, k=5, n_queries=20, n_centroids=16, n_probe=16)
+
+
 def _q_ann_topk_lsh(spark, sf_dir):
     from paraocr_spark.operators.similarity import ann_topk_lsh
 
@@ -270,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "lang_id": _q_lang_id,
         "doc_stats": _q_doc_stats,
@@ -459,6 +470,15 @@ def oracle_sql() -> dict[str, str]:
             "where round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) >= 0.4"
         ),
         "ann_topk": (
+            "select q.vec_id as q, n.vec_id as nb, "
+            "round(list_cosine_similarity(q.embedding::double[], n.embedding::double[]), 4) as cosine, "
+            "row_number() over (partition by q.vec_id "
+            "order by round(list_cosine_similarity(q.embedding::double[], n.embedding::double[]), 4) desc, n.vec_id asc) as rank "
+            "from embeddings q join embeddings n on q.vec_id != n.vec_id "
+            "where q.vec_id < 20 "
+            "qualify rank <= 5"
+        ),
+        "ann_topk_ivf": (
             "select q.vec_id as q, n.vec_id as nb, "
             "round(list_cosine_similarity(q.embedding::double[], n.embedding::double[]), 4) as cosine, "
             "row_number() over (partition by q.vec_id "

@@ -155,6 +155,87 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
     )
 
 
+# ----------------------------------------------------------- IVF ANN path
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple:
+    """Train a coarse quantizer (k-means on a driver-side sample; seeded,
+    deterministic) and assign every vector to its nearest centroid with one
+    numpy matmul per Arrow batch. Returns (assigned_df, centroids).
+
+    This is the IVF (inverted-file) layout: at 10^9+ vectors the assignment
+    is a narrow map, the index is just a partitioned table keyed by
+    centroid id, and queries probe a handful of cells instead of the corpus.
+    """
+    import pandas as pd
+
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(20250816)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(10):  # Lloyd iterations on the sample
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = X[a == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = np.argmax(M @ Cn.T, axis=1)
+            yield pdf
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=out_schema), C
+
+
+def ann_topk_ivf(emb: DataFrame, k: int = 5, n_queries: int = 20,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: probe the n_probe nearest cells per query,
+    exact rerank inside them. Recall grows with n_probe (n_probe ==
+    n_centroids -> exact). The candidate join is keyed on cell id — the
+    corpus-sized side is filtered by a small broadcast of probed cells."""
+    assigned, C = ivf_assign(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    q_rows = emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    qid = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(q), int(c)) for qi, q in enumerate(qid) for c in probes[qi]],
+        schema="q long, cell int",
+    )
+    cands = (
+        F.broadcast(probe_df).join(assigned, "cell")
+        .where(F.col(id_col) != F.col("q"))
+        .select("q", F.col(id_col).alias("nb"), F.col(vec_col).alias("vn"))
+        .dropDuplicates(["q", "nb"])
+    )
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in Q[i]]) for i, q in enumerate(qid)],
+        schema="q long, vq array<float>",
+    )
+    scored = cands.join(F.broadcast(qv), "q").select(
+        "q", "nb", cosine_col(F.col("vq"), F.col("vn")).alias("cosine")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "nb", "cosine", "rank")
+    )
+
+
 # ----------------------------------------------------------- LSH ANN path
 _DIM_DEFAULT = 64
 _BITS = 12

@@ -77,3 +77,27 @@ def test_ann_lsh_candidates_subset_and_reranked(spark, emb, vecs):
         byq.setdefault(r.q, []).append(r.rank)
     for q, ranks in byq.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_ivf_structure_and_exact_rerank(spark, emb, vecs):
+    from paraocr_spark.operators.similarity import ann_topk_ivf, ivf_assign
+
+    ids, M = vecs
+    S = np.round(_cos_matrix(M), 4)
+    rows = ann_topk_ivf(emb, k=5, n_queries=10, n_centroids=8, n_probe=3).collect()
+    assert rows
+    for r in rows:
+        qi = int(np.where(ids == r.q)[0][0])
+        ni = int(np.where(ids == r.nb)[0][0])
+        assert r.cosine == pytest.approx(float(S[qi, ni]), abs=1e-9)
+    # probing ALL cells == exact brute force
+    from paraocr_spark.operators.similarity import ann_topk_bruteforce
+    exact = {(r.q, r.rank): r.nb for r in
+             ann_topk_bruteforce(emb, k=5, n_queries=10).collect()}
+    full = {(r.q, r.rank): r.nb for r in
+            ann_topk_ivf(emb, k=5, n_queries=10, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+    # assignment covers every vector exactly once
+    assigned, C = ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
