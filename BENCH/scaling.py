@@ -105,7 +105,7 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--conf", f"spark.executor.cores={executor_cores}",
         "--conf", f"spark.cores.max={cores_max}",
         "--conf", f"spark.sql.shuffle.partitions={cores_max * 2}",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=128",
         *ALLOC_ENV,
         "--conf", (f"spark.executor.extraJavaOptions=-XX:ParallelGCThreads="
                    f"{gc_threads} -XX:ConcGCThreads=2"),
@@ -127,16 +127,19 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
 
 def best_of(n_trials: int, *args) -> dict:
     """Best throughput of n_trials runs — identical runs vary 2-3x on this
-    shared-kernel host (BENCH/BASELINE.md forensics), so single samples
-    cannot be compared; best-of-N is the standard mitigation."""
+    shared-kernel host (BENCH/BASELINE.md forensics: noise is strictly
+    additive, so the max over trials estimates true capacity). All trial
+    throughputs are recorded for transparency."""
     results = [run_level(*args) for _ in range(n_trials)]
-    return max(results, key=lambda r: r["docs_per_sec"])
+    best = max(results, key=lambda r: r["docs_per_sec"])
+    best["all_trials_docs_per_sec"] = [round(r["docs_per_sec"], 2) for r in results]
+    return best
 
 
 def pair(name: str, executor_cores: int, zpath: str, pages: str, tmp: str) -> dict:
     n_cores = executor_cores
-    res_n = best_of(2, executor_cores, n_cores, zpath, pages, tmp)
-    res_4n = best_of(2, executor_cores, n_cores * 4, zpath, pages, tmp)
+    res_n = best_of(3, executor_cores, n_cores, zpath, pages, tmp)
+    res_4n = best_of(3, executor_cores, n_cores * 4, zpath, pages, tmp)
     eff = (res_4n["docs_per_sec"] / res_n["docs_per_sec"]) / 4.0
     return {
         "name": name,

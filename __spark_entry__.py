@@ -16,7 +16,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship paraocr_spark to executors' Python workers via addPyFile.
+
+    The driver process importing this module has the repo on ITS sys.path,
+    but Python workers inherit only PYTHONPATH/cwd — defensively register a
+    zip so mapInPandas closures unpickle anywhere (idempotent)."""
+    if getattr(_ensure_shipped, "_done", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(tempfile.gettempdir(), "paraocr_spark_auto.zip")
+    if not os.path.exists(path):
+        with zipfile.ZipFile(path, "w") as z:
+            pkg = os.path.join(root, "paraocr_spark")
+            for dirpath, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(path)
+    except Exception:
+        pass  # e.g. Spark Connect sessions: rely on PYTHONPATH instead
+    _ensure_shipped._done = True
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -265,8 +295,19 @@ def _q_events_window_agg(spark, sf_dir):
     )
 
 
+def _shipped(fn):
+    def wrapper(spark, sf_dir):
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _shipped(fn) for name, fn in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES = {
         "extract_html_roundtrip": _q_extract_html_roundtrip,
         "extract_fastpath_gate": _q_extract_fastpath_gate,
         "extract_features": _q_extract_features,
