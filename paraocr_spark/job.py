@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate N synthetic pages instead of --input")
     p.add_argument("--output", required=True, help="extracted table path")
     p.add_argument("--lineage", required=True, help="lineage table path")
+    p.add_argument("--errors", default=None,
+                   help="optional side output of error rows (url, error, "
+                   "run_id) — the error-log sink analog (parallel.py:109-122); "
+                   "errors always remain in-band in --output regardless")
     p.add_argument("--resume", action="store_true",
                    help="anti-join against existing --output before running")
     p.add_argument("--run-id", default="run0")
@@ -118,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
             min_partitions=args.partitions if args.repartition else None,
         )
         metrics = run_and_write(spark, pages, args.output, args.lineage, cfg, done)
+        if args.errors:
+            from pyspark.sql import functions as F
+
+            (
+                pio.read_table(spark, args.output)
+                .where((F.col("run_id") == args.run_id) & F.col("error").isNotNull())
+                .select("url", "error", "run_id",
+                        F.date_format(F.current_timestamp(),
+                                      "yyyy-MM-dd'T'HH:mm:ssZ").alias("logged_at"))
+                .write.mode("append").parquet(args.errors)
+            )
         print(json.dumps({"run_id": args.run_id, **metrics}))
         return 0
     finally:
