@@ -94,9 +94,12 @@ def gen_pages(tmp: str) -> str:
 
 
 def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
-              tmp: str) -> dict:
-    out = os.path.join(tmp, f"out_{executor_cores}_{cores_max}")
-    lin = os.path.join(tmp, f"lin_{executor_cores}_{cores_max}")
+              tmp: str, trial: int = 0) -> dict:
+    # unique output dir + run id PER TRIAL: appending repeated trials into
+    # one table with one run_id would count earlier trials' rows as this
+    # run's and inflate throughput
+    out = os.path.join(tmp, f"out_{executor_cores}_{cores_max}_{trial}")
+    lin = os.path.join(tmp, f"lin_{executor_cores}_{cores_max}_{trial}")
     gc_threads = max(2, executor_cores)
     cmd = [
         f"{SPARK_HOME}/bin/spark-submit",
@@ -114,7 +117,7 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--input", pages,
         "--output", out, "--lineage", lin,
         "--partitions", str(cores_max * 2),
-        "--run-id", f"scale{executor_cores}x{cores_max}",
+        "--run-id", f"scale{executor_cores}x{cores_max}t{trial}",
         "--warmup",
     ]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -130,7 +133,7 @@ def best_of(n_trials: int, *args) -> dict:
     shared-kernel host (BENCH/BASELINE.md forensics: noise is strictly
     additive, so the max over trials estimates true capacity). All trial
     throughputs are recorded for transparency."""
-    results = [run_level(*args) for _ in range(n_trials)]
+    results = [run_level(*args, trial=t) for t in range(n_trials)]
     best = max(results, key=lambda r: r["docs_per_sec"])
     best["all_trials_docs_per_sec"] = [round(r["docs_per_sec"], 2) for r in results]
     return best
