@@ -97,11 +97,16 @@ def run_and_write(
     t0 = time.perf_counter()
     pio.write_extracted(out, out_path)
     # this run's slice of the (append-mode) table: partition-pruned by the
-    # run_id predicate, column-pruned to the metric columns
+    # run_id predicate, column-pruned to the metric columns. ONE action:
+    # the lineage rollup is tiny (a row per partition), so collect it, get
+    # the row count from it, and write it back from the driver — instead of
+    # separate count + lineage jobs.
     written = pio.read_table(spark, out_path).where(F.col("run_id") == cfg.run_id)
-    n = written.count()
+    lin = lineage_rollup(written, cfg.run_id, cfg.fingerprint)
+    lin_rows = lin.collect()
+    n = sum(r.doc_count for r in lin_rows)
     pio.write_lineage(
-        lineage_rollup(written, cfg.run_id, cfg.fingerprint), lineage_path
+        spark.createDataFrame(lin_rows, schema=lin.schema), lineage_path
     )
     wall = time.perf_counter() - t0
     return {"rows": n, "wall_s": wall, "docs_per_sec": (n / wall if wall > 0 else 0.0)}
