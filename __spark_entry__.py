@@ -255,6 +255,32 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per lang (corpus
+    length profiling — the stats a training-data pipeline reports)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_doc_stats_cube(spark, sf_dir):
+    """CUBE rollup over (lang, source): grouping-sets coverage; NULL marks
+    the aggregated dimension in both engines."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def _q_skew_salted_rollup(spark, sf_dir):
     """B3 skew handling: salted two-phase aggregation == direct groupBy.
 
@@ -326,7 +352,9 @@ _RAW_QUERIES = {
         "lang_id": _q_lang_id,
         "doc_stats": _q_doc_stats,
         "fingerprint": _q_fingerprint,
-        "skew_salted_rollup": _q_skew_salted_rollup,
+        "length_quantiles": _q_length_quantiles,
+    "doc_stats_cube": _q_doc_stats_cube,
+    "skew_salted_rollup": _q_skew_salted_rollup,
         "window_topk_sources": _q_window_topk_sources,
         "events_window_agg": _q_events_window_agg,
     }
@@ -539,6 +567,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": (
             f"select doc_id, md5({norm}) as fp_md5, sha256({norm}) as fp_sha256 from documents"
+        ),
+        "length_quantiles": (
+            "select lang, round(quantile_cont(n_chars, 0.5), 6) as p50, "
+            "round(quantile_cont(n_chars, 0.9), 6) as p90, "
+            "round(quantile_cont(n_chars, 0.99), 6) as p99, count(*) as n "
+            "from documents group by lang"
+        ),
+        "doc_stats_cube": (
+            "select lang, source, count(*) as n_docs, sum(n_chars) as total_chars "
+            "from documents group by cube (lang, source)"
         ),
         "skew_salted_rollup": (
             "select l_suppkey, round(sum(l_quantity), 6) as sum_qty, count(*) as n_rows "

@@ -57,6 +57,38 @@ def write_lineage(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def compact_table(spark: SparkSession, path: str,
+                  target_file_mb: int = 256) -> dict:
+    """Small-files compaction for the extracted table (maintenance op).
+
+    Incremental appends (streaming micro-batches, resume re-runs) accumulate
+    small parquet files; at 100 TB the scan cost is dominated by file-open
+    overhead. Rewrite each warc_bucket partition into ~target_file_mb files
+    — the parquet stand-in for Iceberg's rewrite_data_files compaction.
+    Writes to a staging dir then swaps, so readers never see a half state.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(n_files, F.col("warc_bucket"))
+        .write.mode("overwrite").partitionBy("warc_bucket").parquet(staging)
+    )
+    backup = path.rstrip("/") + "__old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"total_bytes": total_bytes, "target_files": n_files}
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     if _iceberg_available(spark) and path.count(".") >= 1 and "/" not in path:
         return spark.read.format("iceberg").load(path)

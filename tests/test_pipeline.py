@@ -63,3 +63,22 @@ def test_warc_bucket_partitioning(spark, tmp_path):
     assert any(d.startswith("warc_bucket=") for d in dirs)
     back = pio.read_table(spark, out)
     assert back.count() == 50
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    """Many small appends -> compact -> same rows, fewer files."""
+    out = str(tmp_path / "frag")
+    lin = str(tmp_path / "frag_lin")
+    for i in range(3):  # three appends fragment the table
+        run_and_write(spark, pages_df(spark, 40, 4).where(
+            F.col("url").isNotNull()), out, lin,
+            PipelineConfig(run_id=f"c{i}"),
+            done=pio.read_table(spark, out) if i else None)
+    before_files = len(list(pathlib.Path(out).rglob("*.parquet")))
+    before_rows = pio.read_table(spark, out).count()
+    stats = pio.compact_table(spark, out, target_file_mb=256)
+    after = pio.read_table(spark, out)
+    assert after.count() == before_rows
+    after_files = len(list(pathlib.Path(out).rglob("*.parquet")))
+    assert after_files <= before_files
+    assert after_files <= stats["target_files"] * 64  # bounded by buckets
