@@ -82,3 +82,21 @@ def test_compaction_preserves_rows(spark, tmp_path):
     after_files = len(list(pathlib.Path(out).rglob("*.parquet")))
     assert after_files <= before_files
     assert after_files <= stats["target_files"] * 64  # bounded by buckets
+
+
+def test_config_fingerprint_invalidates_resume(spark, tmp_path):
+    """A changed extraction config must reprocess everything even when urls
+    match — the analog of the reference's cache_version bump
+    (parallel.py:95-96, cli.py:393-397)."""
+    from paraocr_spark.operators.resume import filter_unprocessed
+
+    pages = pages_df(spark, 60, 4)
+    cfg_a = PipelineConfig(run_id="a", extra={"v": 1})
+    cfg_b = PipelineConfig(run_id="b", extra={"v": 2})
+    assert cfg_a.fingerprint != cfg_b.fingerprint
+    ext_a, _ = run_extraction(spark, pages, cfg_a)
+    done = ext_a.select("url", "config_fp")
+    # same config: all skipped
+    assert filter_unprocessed(pages, done, cfg_a.fingerprint).count() == 0
+    # changed config: nothing skipped
+    assert filter_unprocessed(pages, done, cfg_b.fingerprint).count() == 60
