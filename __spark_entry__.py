@@ -229,6 +229,16 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+def _q_lang_id_ngram(spark, sf_dir):
+    """Char-trigram n-gram lang-ID profile (substring-count scoring)."""
+    from paraocr_spark.functions.text import lang_id_ngram
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", lang_id_ngram(F.col("text")).alias("lang_pred"))
+    )
+
+
 def _q_doc_stats(spark, sf_dir):
     from paraocr_spark.functions.text import token_count, token_count_bpe
 
@@ -350,6 +360,7 @@ _RAW_QUERIES = {
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "lang_id": _q_lang_id,
+    "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
         "fingerprint": _q_fingerprint,
         "length_quantiles": _q_length_quantiles,
@@ -445,6 +456,28 @@ select url, n_chars,
        case {cases} else 'und' end as lang_pred
 from t
 """
+
+
+def _lang_ngram_oracle_sql() -> str:
+    from paraocr_spark.functions.text import LANG_TRIGRAMS
+
+    def count_expr(tri: str) -> str:
+        t = tri.replace("'", "''")
+        return (
+            f"(length(lower(text)) - length(replace(lower(text), '{t}', '')))"
+            f" / {len(tri)}"
+        )
+
+    scores = {
+        lang: "(" + " + ".join(count_expr(t) for t in tris) + ")"
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"when {scores[lang]} > 0 and {scores[lang]} = {greatest} then '{lang}'"
+        for lang in LANG_TRIGRAMS
+    )
+    return f"select doc_id, case {cases} else 'und' end as lang_pred from documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -560,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": (
             f"select {lang_case} as lang_pred, count(*) as n from documents group by 1"
         ),
+        "lang_id_ngram": _lang_ngram_oracle_sql(),
         "doc_stats": (
             f"select source, count(*) as n_docs, sum(len({toks_an})) as total_tokens, "
             "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as total_bpe_tokens, "

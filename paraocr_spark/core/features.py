@@ -59,7 +59,26 @@ FEATURE_FIELDS = [
     ("stop_ratio", "double"),
     ("lang_pred", "string"),
     ("simhash", "long"),
+    ("rolling_hash", "long"),
 ]
+
+# Karp-Rabin polynomial fingerprint over the token-hash stream:
+# rolling_hash = sum(h_i * B^i) mod P — order-sensitive (unlike simhash/md5
+# of the normalized text), so block reorderings change it; the standard
+# rolling-hash document fingerprint built on the same token hashes.
+_RK_P = (1 << 61) - 1
+_RK_B = 1_000_003
+_RK_POWERS: list[int] = [1]
+
+
+def _rk_fingerprint(hashes: "np.ndarray") -> int:
+    powers = _RK_POWERS
+    while len(powers) < len(hashes):
+        powers.append((powers[-1] * _RK_B) % _RK_P)
+    acc = 0
+    for h, p in zip(hashes.tolist(), powers):
+        acc = (acc + (int(h) % _RK_P) * p) % _RK_P
+    return acc
 FEATURES_DDL = "struct<" + ",".join(f"{n}:{t}" for n, t in FEATURE_FIELDS) + ">"
 
 
@@ -106,7 +125,8 @@ def compute_features(text: str | None) -> dict:
     """Serial oracle — must match the vectorized kernel exactly."""
     if text is None:
         return {"n_chars": 0, "n_tokens": 0, "alpha_ratio": 0.0,
-                "stop_ratio": 0.0, "lang_pred": "und", "simhash": 0}
+                "stop_ratio": 0.0, "lang_pred": "und", "simhash": 0,
+                "rolling_hash": 0}
     cap = text[:FEATURE_CAP]
     lower = cap.lower()
     tokens = _TOKEN_RE.findall(lower)
@@ -125,8 +145,11 @@ def compute_features(text: str | None) -> dict:
         best = max(scores)
         lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
         simhash = _simhash64_counted(uniq, counts)
+        rolling = _rk_fingerprint(
+            _token_hashes(np.asarray(tokens, dtype=object))
+        )
     else:
-        stop_ratio, lang_pred, simhash = 0.0, "und", 0
+        stop_ratio, lang_pred, simhash, rolling = 0.0, "und", 0, 0
     return {
         "n_chars": len(text),
         "n_tokens": n_tok,
@@ -134,6 +157,7 @@ def compute_features(text: str | None) -> dict:
         "stop_ratio": stop_ratio,
         "lang_pred": lang_pred,
         "simhash": simhash,
+        "rolling_hash": rolling,
     }
 
 

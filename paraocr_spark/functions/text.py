@@ -95,6 +95,42 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+# Distinctive character trigrams per language (n-gram profile method,
+# Cavnar & Trenkle '94 lineage, minimal profiles).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "ing", "and", " of"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "es": ("que", " de", "ión", "los", " la"),
+    "fr": ("les", " le", "ent", "des", "une"),
+}
+
+
+def _trigram_count(col: Column, tri: str) -> Column:
+    lower = F.lower(col)
+    return (
+        (F.length(lower) - F.length(F.replace(lower, F.lit(tri), F.lit(""))))
+        / len(tri)
+    ).cast("long")
+
+
+def lang_id_ngram(col: Column) -> Column:
+    """Character-trigram language ID: count profile trigrams by substring
+    occurrence (pure string built-ins — no tokenization, robust to scripts
+    without word separators). Tie-break by LANG_TRIGRAMS order; 'und' when
+    nothing matches."""
+    scores = {
+        lang: sum(
+            (_trigram_count(col, t) for t in tris), F.lit(0).cast("long")
+        )
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (Content-addressed identity, the analog of the reference's SHA-1 cache
