@@ -24,20 +24,32 @@ def _ensure_shipped(spark: SparkSession) -> None:
     zip so mapInPandas closures unpickle anywhere (idempotent)."""
     if getattr(_ensure_shipped, "_done", False):
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     root = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(tempfile.gettempdir(), "paraocr_spark_auto.zip")
+    pkg = os.path.join(root, "paraocr_spark")
+    sources = []
+    for dirpath, _, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(dirpath, f))
+    # name the zip by a content hash so edits to paraocr_spark never ship a
+    # stale executor copy (addPyFile caches by filename)
+    h = hashlib.sha1()
+    for full in sorted(sources):
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join(
+        tempfile.gettempdir(), f"paraocr_spark_auto_{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(path):
         with zipfile.ZipFile(path, "w") as z:
-            pkg = os.path.join(root, "paraocr_spark")
-            for dirpath, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, root))
     try:
         spark.sparkContext.addPyFile(path)
     except Exception:
@@ -595,8 +607,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_ngram": _lang_ngram_oracle_sql(),
         "doc_stats": (
-            f"select source, count(*) as n_docs, sum(len({toks_an})) as total_tokens, "
-            "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as total_bpe_tokens, "
+            # ::bigint casts: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+            # renders as float64 ('1136.0') and the driver's value hash then
+            # mismatches Spark's bigint ('1136')
+            f"select source, count(*) as n_docs, sum(len({toks_an}))::bigint as total_tokens, "
+            "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::bigint as total_bpe_tokens, "
             "round(avg(n_chars), 6) as avg_chars from documents group by source"
         ),
         "fingerprint": (
@@ -609,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
             "from documents group by lang"
         ),
         "doc_stats_cube": (
-            "select lang, source, count(*) as n_docs, sum(n_chars) as total_chars "
+            "select lang, source, count(*) as n_docs, sum(n_chars)::bigint as total_chars "
             "from documents group by cube (lang, source)"
         ),
         "skew_salted_rollup": (
@@ -617,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
             "from lineitem group by l_suppkey"
         ),
         "window_topk_sources": (
-            "select lang, source, sum(n_chars) as total_chars, "
+            "select lang, source, sum(n_chars)::bigint as total_chars, "
             "row_number() over (partition by lang order by sum(n_chars) desc, source asc) as rank "
             "from documents group by lang, source qualify rank <= 3"
         ),

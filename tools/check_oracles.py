@@ -26,8 +26,9 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
 
     def cell(v):
-        if isinstance(v, float):
-            return f"{v:.9g}"
+        # full-precision stringification: the driver hashes str(v) verbatim,
+        # so '1136.0' (DuckDB HUGEINT->float64) vs '1136' (Spark bigint) is a
+        # REAL mismatch — do not canonicalize floats here
         return str(v)
 
     rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
