@@ -188,15 +188,23 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
+    """threshold=0.9: 16x4 banding has ~1.0 candidate recall only at
+    j >= 0.9 (P(miss) = (1-0.9^4)^16 ~ 4e-8), so ONLY there is the exact
+    all-pairs jaccard SQL a fair oracle for the approximate algorithm;
+    at j=0.5 recall is ~64% and the gate would over-claim."""
     from paraocr_spark.operators.dedup import dedup_minhash_lsh
 
-    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.5)
+    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.9)
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """Portable 60-bit md5-based simhash so DuckDB reproduces the signature
+    bit-for-bit; candidates via Manku combination blocks, exact hamming
+    verify — the oracle computes the same pairs from the same signatures."""
     from paraocr_spark.operators.dedup import dedup_simhash
 
-    return dedup_simhash(_docs(spark, sf_dir), max_hamming=3)
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=3,
+                         nbits=60, hasher="md5_60")
 
 
 def _q_neardup_embedding(spark, sf_dir):
@@ -389,7 +397,9 @@ _RAW_QUERIES = {
 
 _URL = "'https://site' || (doc_id % 50)::varchar || '.example/doc/' || doc_id::varchar"
 
-_SHINGLES_CTE = """
+def _shingles_sql(threshold: float) -> str:
+    """Exact all-pairs jaccard over word-3-gram shingle sets at >= threshold."""
+    return f"""
 with t as (
   select doc_id, trim(text) as tt, string_split(trim(text), ' ') as ws from documents
 ), s as (
@@ -406,7 +416,35 @@ with t as (
   from s a join s b on a.doc_id < b.doc_id
 )
 select a, b, round(inter::double / uni::double, 6) as jaccard
-from pairs where inter::double / uni::double >= 0.5
+from pairs where inter::double / uni::double >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, nbits: int = 60) -> str:
+    """DuckDB twin of dedup_simhash(nbits=60, hasher='md5_60'): identical
+    60-bit md5-based signatures, then the EXACT hamming self-join — valid
+    for any banding scheme because banding recall is 1.0 by pigeonhole."""
+    votes = ", ".join(
+        f"sum(case when (hv >> {b}) & 1 = 1 then 1 else -1 end) as v{b}"
+        for b in range(nbits)
+    )
+    sh_terms = " + ".join(
+        f"(case when v{b} > 0 then {1 << b} else 0 end)" for b in range(nbits)
+    )
+    return f"""
+with toks as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as t
+  from documents
+), h as (
+  select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as hv from toks
+), votes as (
+  select doc_id, {votes} from h group by doc_id
+), sig as (
+  select doc_id, ({sh_terms})::bigint as sh from votes
+)
+select a.doc_id as a, b.doc_id as b, bit_count(xor(a.sh, b.sh))::int as hamming
+from sig a join sig b on a.doc_id < b.doc_id
+where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
@@ -492,6 +530,46 @@ def _lang_ngram_oracle_sql() -> str:
     return f"select doc_id, case {cases} else 'und' end as lang_pred from documents"
 
 
+def _ann_lsh_oracle_sql(k: int = 5, n_queries: int = 20) -> str:
+    """DuckDB twin of ann_topk_lsh: the seeded hyperplanes are embedded as
+    SQL constants (rounded identically on both engines), so the bucket
+    assignment, candidate join, and exact 4dp-cosine rerank are reproduced
+    EXACTLY — a full hash-match oracle for the approximate algorithm."""
+    from paraocr_spark.operators.similarity import _BITS, _DIM_DEFAULT, _TABLES, _hyperplanes
+
+    H = _hyperplanes(_DIM_DEFAULT, _BITS, _TABLES)  # (L, bits, dim)
+    bucket_exprs = []
+    for t in range(_TABLES):
+        terms = []
+        for b in range(_BITS):
+            plane = "[" + ",".join(repr(x) for x in H[t, b]) + "]::double[]"
+            terms.append(
+                f"(case when list_dot_product(e, {plane}) > 0 then {1 << b} else 0 end)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + ")::bigint")
+    buckets = ",\n    ".join(bucket_exprs)
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as e from embeddings
+), sig as (
+  select vec_id, [{buckets}] as buckets from v
+), ex as (
+  select vec_id, t.range as tbl, buckets[t.range + 1] as bucket
+  from sig cross join range({_TABLES}) t
+), cands as (
+  select distinct q.vec_id as q, s.vec_id as nb
+  from (select * from ex where vec_id < {n_queries}) q
+  join ex s on q.tbl = s.tbl and q.bucket = s.bucket and s.vec_id != q.vec_id
+), scored as (
+  select c.q, c.nb, round(list_cosine_similarity(a.e, b.e), 4) as cosine
+  from cands c join v a on a.vec_id = c.q join v b on b.vec_id = c.nb
+)
+select q, nb, cosine,
+       row_number() over (partition by q order by cosine desc, nb asc) as rank
+from scored qualify rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from paraocr_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
 
@@ -574,9 +652,9 @@ def oracle_sql() -> dict[str, str]:
             f"select md5({norm}) as fp, min(doc_id) as keeper, count(*) as n_copies "
             "from documents group by 1"
         ),
-        "dedup_ngram_jaccard": _SHINGLES_CTE,
-        "dedup_minhash_lsh": _SHINGLES_CTE,
-        # dedup_simhash: no SQL oracle (xxhash64-based signatures) — rows-only
+        "dedup_ngram_jaccard": _shingles_sql(0.5),
+        "dedup_minhash_lsh": _shingles_sql(0.9),
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=3, nbits=60),
         "neardup_embedding": (
             "select a.vec_id as a, b.vec_id as b, "
             "round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) as cosine "
@@ -601,7 +679,7 @@ def oracle_sql() -> dict[str, str]:
             "where q.vec_id < 20 "
             "qualify rank <= 5"
         ),
-        # ann_topk_lsh: approximate — rows-only check
+        "ann_topk_lsh": _ann_lsh_oracle_sql(k=5, n_queries=20),
         "lang_id": (
             f"select {lang_case} as lang_pred, count(*) as n from documents group by 1"
         ),

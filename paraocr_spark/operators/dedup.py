@@ -71,6 +71,45 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("id"), shingles.alias("sh"))
 
 
+def ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (a < b) for a jaccard-threshold join.
+
+    Prefix-filter theorem (PPJoin, Xiao et al. WWW'08): under ANY consistent
+    global token order, two sets with jaccard >= t must share a token inside
+    each one's first |x| - ceil(t*|x|) + 1 tokens. Ordering is ascending
+    document frequency (rarest first), so ubiquitous shingles — the
+    quadratic blowup on Zipfian web corpora — sort LAST and mostly fall
+    outside every prefix, never entering the inverted index.
+
+    Shuffles 8-byte shingle hashes, not ~30-char strings: df counted per
+    hash is still a consistent global order (ties broken by the string
+    itself, keeping it total), and a hash collision only ADDS candidates —
+    callers verify with exact jaccard, so results stay exact.
+    """
+    exh = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).withColumn("hs", F.xxhash64("s"))
+    freq = exh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        exh.join(freq, "hs")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+            ),
+        )
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "hs")
+    )
+    return (
+        prefix.select(F.col("id").alias("a"), "hs")
+        .join(prefix.select(F.col("id").alias("b"), "hs"), "hs")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Attach exact jaccard to candidate (a, b) pairs via the shingle sets."""
     a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
@@ -87,18 +126,19 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 # ------------------------------------------------------ exact n-gram join
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, prefix_filter: bool = False) -> DataFrame:
+                        n: int = 3, prefix_filter: bool = True) -> DataFrame:
     """EXACT jaccard near-dup pairs via a prefix-filtered inverted-index join
     (PPJoin-style set-similarity join; Xiao et al., WWW'08 — public
     algorithm).
 
     Two modes, identical results:
 
-    * ``prefix_filter=False`` (default): full inverted-index join; the
-      per-pair match count IS the exact intersection, so jaccard falls out
-      of a size join with no verification pass. Optimal until ubiquitous
-      shingles make the index quadratic.
-    * ``prefix_filter=True``: the web-scale mode.
+    * ``prefix_filter=False``: full inverted-index join; the per-pair match
+      count IS the exact intersection, so jaccard falls out of a size join
+      with no verification pass. Kept as the small-N test oracle — on
+      Zipfian web shingles the index is quadratic in the hottest shingle's
+      document frequency, so it must never be the production path.
+    * ``prefix_filter=True`` (default): the web-scale mode.
       Prefix-filter theorem: order every doc's shingles by one global total
     order (ascending document frequency, rarest first, ties by value); two
     sets with jaccard >= t MUST share a token inside each one's first
@@ -115,26 +155,7 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     rhs = ex.select(F.col("id").alias("b"), "s")
 
     if prefix_filter:
-        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        prefix = (
-            ex.join(freq, "s")
-            .withColumn(
-                "pos",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
-                ),
-            )
-            .join(sizes, "id")
-            .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-            .select("id", "s")
-        )
-        cands = (
-            prefix.select(F.col("id").alias("a"), "s")
-            .join(prefix.select(F.col("id").alias("b"), "s"), "s")
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .dropDuplicates(["a", "b"])
-        )
+        cands = ppjoin_candidates(sh, threshold)
         return _exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
 
     # full inverted index: the per-pair match count IS the exact
@@ -214,25 +235,36 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5,
 
 # --------------------------------------------------------------- simhash
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(id, simhash): 64-bit SimHash from token xxhash64s — NO Python UDF.
+              text_col: str = "text", nbits: int = 64,
+              hasher: str = "xxhash64") -> DataFrame:
+    """(id, simhash): nbits-bit SimHash from token hashes — NO Python UDF.
 
-    explode tokens -> per-bit +1/-1 votes as 64 partial-aggregated sums ->
-    reassemble the bit vector relationally. One shuffle.
+    explode tokens -> per-bit +1/-1 votes as nbits partial-aggregated sums
+    -> reassemble the bit vector relationally. One shuffle.
+
+    hasher:
+      * ``xxhash64`` (default): fastest, 64-bit, JVM-native.
+      * ``md5_60``: first 15 hex chars of md5 parsed as a 60-bit int —
+        bit-for-bit reproducible in any engine with md5 (the DuckDB
+        correctness oracle computes the identical signature). Pass
+        nbits=60 with it.
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     ex = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
-    h = F.xxhash64("t")
+    if hasher == "md5_60":
+        h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("t")
     votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = ex.groupBy("id").agg(*votes)
     bits = [
         F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
+        for b in range(nbits)
     ]
     total = bits[0]
     for expr in bits[1:]:
@@ -240,27 +272,58 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return agg.select("id", total.alias("simhash"))
 
 
+def simhash_blocks(sig: DataFrame, max_hamming: int = 3, nbits: int = 64,
+                   n_blocks: int = 6) -> DataFrame:
+    """(id, simhash, combo, key): Manku-style combination block keys.
+
+    Split the fingerprint into ``n_blocks`` nearly-equal bit blocks; a pair
+    within hamming ``max_hamming`` has >= n_blocks - max_hamming intact
+    blocks, so it shares SOME combination of ``n_blocks - max_hamming``
+    blocks verbatim (pigeonhole). Keying the join on each combination's
+    hash gives bucket keys of ~nbits*(1 - h/n_blocks) bits — e.g. 6 blocks,
+    h=3 -> C(6,3)=20 tables with ~32-bit keys, so bucket size ~N/2^32
+    instead of the ~N/2^16 of naive 4-chunk banding (the quadratic blowup
+    at web scale). Manku, Jain & Sarma, WWW'07 §3 — public algorithm.
+    """
+    from itertools import combinations
+
+    widths = [nbits // n_blocks + (1 if i < nbits % n_blocks else 0)
+              for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    blk = [
+        F.shiftright(F.col("simhash"), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_blocks)
+    ]
+    q = n_blocks - max_hamming
+    combos = list(combinations(range(n_blocks), q))
+    entries = F.array(*[
+        F.struct(
+            F.lit(ci).alias("combo"),
+            F.xxhash64(*[blk[i] for i in c]).alias("key"),
+        )
+        for ci, c in enumerate(combos)
+    ])
+    return (
+        sig.select("id", "simhash", F.explode(entries).alias("e"))
+        .select("id", "simhash", F.col("e.combo").alias("combo"),
+                F.col("e.key").alias("key"))
+    )
+
+
 def dedup_simhash(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  nbits: int = 64, hasher: str = "xxhash64",
+                  n_blocks: int = 6) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Banding: 4 chunks of 16 bits — any pair within hamming 3 shares at
-    least one exact chunk (pigeonhole), so the chunk-equality join finds
-    all of them; bit_count(xor) verifies exactly.
+    Candidates from Manku combination-block keys (recall 1.0 by
+    pigeonhole, see simhash_blocks); bit_count(xor) verifies exactly, so
+    results are independent of the banding scheme.
     """
-    sig = simhash64(docs, id_col, text_col)
-    chunks = F.array(*[
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
-        )
-        for c in range(4)
-    ])
-    b = sig.select("id", "simhash", F.explode(chunks).alias("e")).select(
-        "id", "simhash", F.col("e.c").alias("c"), F.col("e.ch").alias("ch")
-    )
+    sig = simhash64(docs, id_col, text_col, nbits, hasher)
+    b = simhash_blocks(sig, max_hamming, nbits, n_blocks)
     pairs = (
-        b.alias("x").join(b.alias("y"), ["c", "ch"])
+        b.alias("x").join(b.alias("y"), ["combo", "key"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("a"), F.col("y.id").alias("b"),

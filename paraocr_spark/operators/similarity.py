@@ -244,7 +244,10 @@ _TABLES = 8
 
 def _hyperplanes(dim: int, bits: int, tables: int) -> np.ndarray:
     rng = np.random.RandomState(20250816)
-    return rng.normal(size=(tables, bits, dim)).astype(np.float64)
+    # rounded to 6 decimals so the planes embed exactly in the DuckDB
+    # correctness oracle's SQL (repr round-trips; both engines see
+    # bit-identical constants)
+    return np.round(rng.normal(size=(tables, bits, dim)).astype(np.float64), 6)
 
 
 def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,

@@ -113,3 +113,49 @@ def test_exact_dedup_counts(spark, docs):
     assert sum(r.n_copies for r in rows) == docs.count()
     # synthetic documents at this sf have no exact dups
     assert all(r.n_copies == 1 for r in rows)
+
+
+def test_prefix_filter_skew_subquadratic(spark):
+    """On a Zipfian fixture (one shingle in EVERY doc) the naive inverted
+    index enumerates all C(n,2) pairs through the hot shingle; the PPJoin
+    prefix filter must keep the candidate set sub-quadratic because the
+    ubiquitous shingle sorts last (max document frequency) and falls
+    outside every prefix."""
+    n = 60
+    rows = [
+        # 10 unique words + the shared hot trigram "the quick fox";
+        # pairwise jaccard between distinct docs is ~1/21 << 0.5
+        (i, f"the quick fox " + " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.with_shingles(docs)
+    naive_pairs = (
+        sh.select(F.col("id").alias("a"), F.explode("sh").alias("s"))
+        .join(sh.select(F.col("id").alias("b"), F.explode("sh").alias("s")), "s")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct().count()
+    )
+    assert naive_pairs == n * (n - 1) // 2  # the hot shingle joins everyone
+    cands = dedup.ppjoin_candidates(sh, 0.5).count()
+    assert cands < n  # sub-quadratic: hot shingle excluded from prefixes
+    # and the final result is still exact: no pair reaches jaccard 0.5
+    assert dedup.dedup_ngram_jaccard(docs, 0.5).count() == 0
+
+
+def test_simhash_portable_md5_matches_brute(spark, docs):
+    """The md5_60 portable variant (the driver-oracle hash) must agree with
+    a brute-force hamming join over its own signatures — proves the Manku
+    combination banding loses nothing at hamming<=3 on 60-bit signatures."""
+    sig = {r.id: r.simhash for r in
+           dedup.simhash64(docs, nbits=60, hasher="md5_60").collect()}
+    assert all(0 <= v < (1 << 60) for v in sig.values())
+    got = {(r.a, r.b): r.hamming for r in
+           dedup.dedup_simhash(docs, 3, nbits=60, hasher="md5_60").collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
