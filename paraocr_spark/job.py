@@ -69,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="anti-join against existing --output before running")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--no-salt", action="store_true")
+    p.add_argument("--backend", default="default",
+                   help="extractor backend: registry name or dotted "
+                   "module.Class path (the --ocr-backend analog, "
+                   "cli.py:101-123); preflight-imported before any work")
+    p.add_argument("--backend-kwargs", default=None,
+                   help="JSON dict of backend constructor kwargs")
+    p.add_argument("--ignore-keywords", default=None,
+                   help="comma-separated url keywords to skip, "
+                   "case-insensitive substring (cli.py:249-251 analog)")
     p.add_argument("--master", default=None, help="override master (local[N] for bench)")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--repartition", action="store_true",
@@ -120,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
         cfg = PipelineConfig(
             run_id=args.run_id, salt=not args.no_salt,
             min_partitions=args.partitions if args.repartition else None,
+            backend=args.backend,
+            backend_kwargs=json.loads(args.backend_kwargs) if args.backend_kwargs else {},
+            ignore_url_keywords=(
+                [k.strip() for k in args.ignore_keywords.split(",") if k.strip()]
+                if args.ignore_keywords else []
+            ),
         )
         metrics = run_and_write(spark, pages, args.output, args.lineage, cfg, done)
         if args.errors:
@@ -127,7 +142,11 @@ def main(argv: list[str] | None = None) -> int:
 
             (
                 pio.read_table(spark, args.output)
-                .where((F.col("run_id") == args.run_id) & F.col("error").isNotNull())
+                # invocation_id scopes to THIS invocation: a resumed run
+                # reusing --run-id must not re-log earlier appends' errors
+                .where((F.col("run_id") == args.run_id)
+                       & (F.col("invocation_id") == metrics["invocation_id"])
+                       & F.col("error").isNotNull())
                 .select("url", "error", "run_id",
                         F.date_format(F.current_timestamp(),
                                       "yyyy-MM-dd'T'HH:mm:ssZ").alias("logged_at"))

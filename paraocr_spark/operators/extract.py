@@ -40,13 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paraocr_spark import PAGE_BREAK
-from paraocr_spark.core import htmlx, layout, quality
-from paraocr_spark.core.reference import (
-    METHOD_ERROR,
-    METHOD_HTML,
-    METHOD_LAYOUT,
-    METHOD_NATIVE,
-)
+from paraocr_spark.core.reference import METHOD_ERROR, METHOD_LAYOUT
 
 from paraocr_spark.core.features import FEATURES_DDL, compute_features
 
@@ -66,101 +60,48 @@ def _spans_struct(spans: list[tuple[int, int]]) -> list[dict]:
     return [{"start": s, "end": e} for s, e in spans]
 
 
-def _assign_obj(target: np.ndarray, mask: np.ndarray, values: list) -> None:
-    """Assign a list of python objects into target[mask] without numpy
-    trying to broadcast list-of-lists into a 2-D array."""
-    tmp = np.empty(len(values), dtype=object)
-    tmp[:] = values
-    target[mask] = tmp
+def _extract_batch(pdf: pd.DataFrame, pid: int, backend_spec: str,
+                   backend_kwargs: dict | None) -> pd.DataFrame:
+    """Backend extraction + engine-side bookkeeping (features, metrics).
 
+    The route/parse logic lives in the backend (backends.py registry,
+    default: core/routes.py:RoutedExtractorBackend — resolved ONCE per
+    Python worker); this wrapper owns what every backend shares: span
+    structification, per-doc features, shard passthrough, and the lineage
+    metric columns."""
+    from paraocr_spark.backends import get_backend
 
-def _extract_batch(pdf: pd.DataFrame, pid: int) -> pd.DataFrame:
     t0 = time.perf_counter()
     n = len(pdf)
-    url = pdf["url"].to_numpy()
-    html_vals = pdf["html"].to_numpy(dtype=object)
-    text_vals = pdf["text"]
-
-    ext = np.empty(n, dtype=object)
+    res = get_backend(backend_spec, backend_kwargs).extract_batch(pdf)
+    ext = res["extracted_text"].to_numpy(dtype=object)
     spans = np.empty(n, dtype=object)
-    method = np.empty(n, dtype=object)
-    error = np.full(n, None, dtype=object)
+    spans[:] = [_spans_struct(sp) for sp in res["spans"]]
+
+    html_vals = pdf["html"].to_numpy(dtype=object)
     doc_bytes = np.fromiter(
         (len(h) if isinstance(h, (bytes, bytearray)) else 0 for h in html_vals),
         dtype=np.int64, count=n,
     )
-
-    # --- vectorized routing masks (P2/P3/P4 analogs) ---------------------
-    # fast path: pre-extracted text passes the two-stage gate
     is_shard = (pdf["n_shards"].to_numpy() > 1) if "n_shards" in pdf else np.zeros(n, bool)
-    fast = quality.fastpath_ok_series(text_vals).to_numpy() & ~is_shard
-    has_html = np.fromiter(
-        (isinstance(h, (bytes, bytearray)) and len(h) > 0 for h in html_vals),
-        dtype=bool, count=n,
-    )
-    magic = np.fromiter(
-        (isinstance(h, (bytes, bytearray)) and h[:8] == layout.MAGIC for h in html_vals),
-        dtype=bool, count=n,
-    )
-    no_content = ~fast & ~has_html
-    route_layout = ~fast & has_html & magic
-    route_html = ~fast & has_html & ~magic
-
-    # --- fast path (parallel.py:295-334) ----------------------------------
-    if fast.any():
-        ftxt = text_vals.to_numpy(dtype=object)[fast]
-        ext[fast] = ftxt
-        _assign_obj(spans, fast, [_spans_struct([(0, len(t))]) for t in ftxt])
-        method[fast] = METHOD_NATIVE
-
-    # --- in-band errors (parallel.py:565-569) ------------------------------
-    if no_content.any():
-        ext[no_content] = None
-        _assign_obj(spans, no_content, [[] for _ in range(int(no_content.sum()))])
-        method[no_content] = METHOD_ERROR
-        error[no_content] = "no_content"
-
-    # --- heavy per-document extract (the inner kernel) ---------------------
-    for idx in np.flatnonzero(route_layout):
-        try:
-            merged, sp = layout.extract_layout(bytes(html_vals[idx]))
-            ext[idx], spans[idx], method[idx] = merged, _spans_struct(sp), METHOD_LAYOUT
-        except ValueError as e:
-            ext[idx], spans[idx] = None, []
-            method[idx], error[idx] = METHOD_ERROR, f"layout_error: {e}"
-
-    for idx in np.flatnonzero(route_html):
-        raw = bytes(html_vals[idx])
-        try:
-            markup = raw.decode("utf-8")
-        except UnicodeDecodeError:
-            ext[idx], spans[idx] = None, []
-            method[idx], error[idx] = METHOD_ERROR, "invalid_utf8"
-            continue
-        try:
-            merged, sp = htmlx.extract_html(markup)
-            ext[idx], spans[idx], method[idx] = merged, _spans_struct(sp), METHOD_HTML
-        except Exception as e:  # per-doc isolation (easyocr_backend.py:260-263)
-            ext[idx], spans[idx] = None, []
-            method[idx], error[idx] = METHOD_ERROR, f"html_error: {e!r}"
 
     # per-doc training-data features, same pass (no second scan / job);
-    # shards of giants get theirs after reassembly (_merge_shard_group)
+    # shards of giants get theirs after reassembly (_merge_shards_relational)
     features = np.empty(n, dtype=object)
     features[:] = [
         None if is_shard[i] else compute_features(ext[i]) for i in range(n)
     ]
 
     wall = time.perf_counter() - t0
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
-            "url": url,
+            "url": pdf["url"].to_numpy(),
             "warc_ts": pdf["warc_ts"].to_numpy(),
             "lang": pdf["lang"].to_numpy(),
             "extracted_text": ext,
             "spans": spans,
-            "method": method,
-            "error": error,
+            "method": res["method"].to_numpy(dtype=object),
+            "error": res["error"].to_numpy(dtype=object),
             "features": features,
             "shard_id": pdf["shard_id"].to_numpy() if "shard_id" in pdf else 0,
             "n_shards": pdf["n_shards"].to_numpy() if "n_shards" in pdf else 1,
@@ -170,19 +111,21 @@ def _extract_batch(pdf: pd.DataFrame, pid: int) -> pd.DataFrame:
             "_wall_s": wall / max(n, 1),
         }
     )
-    return out
 
 
-def extract_kernel(df: DataFrame) -> DataFrame:
+def extract_kernel(df: DataFrame, backend: str = "default",
+                   backend_kwargs: dict | None = None) -> DataFrame:
     """mapInPandas wrapper. Input needs url/warc_ts/html/text/lang
-    (+optional shard_id/n_shards from salt_pages)."""
+    (+optional shard_id/n_shards from salt_pages). ``backend`` is a
+    registry name or dotted module.Class path (backends.py); only the
+    strings travel in the closure — workers resolve them locally."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for b in batches:
             if len(b):
-                yield _extract_batch(b, pid)
+                yield _extract_batch(b, pid, backend, backend_kwargs)
 
     return df.mapInPandas(run, schema=_KERNEL_SCHEMA_DDL)
 
@@ -268,7 +211,9 @@ def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
 
 
 
-def extract_pages(pages: DataFrame, *, salt: bool = True) -> DataFrame:
+def extract_pages(pages: DataFrame, *, salt: bool = True,
+                  backend: str = "default",
+                  backend_kwargs: dict | None = None) -> DataFrame:
     """Full extraction: optional skew salting -> kernel -> shard reassembly.
 
     Returns EXTRACTED_SCHEMA plus metric cols (_pid, _doc_bytes, _wall_s);
@@ -290,14 +235,33 @@ def extract_pages(pages: DataFrame, *, salt: bool = True) -> DataFrame:
         prepped = pages.select(
             *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
         )
-        return extract_kernel(prepped).drop("shard_id", "n_shards")
+        return extract_kernel(prepped, backend, backend_kwargs).drop(
+            "shard_id", "n_shards"
+        )
 
-    giant_cond = giant_condition()
+    # A giant layout payload accompanied by gate-PASSING native text must
+    # resolve native_text (the serial oracle checks fastpath_ok(text)
+    # FIRST, core/reference.py:43) — but the shard path never applies the
+    # gate. So only docs whose text DEFINITELY fails the gate (null or too
+    # short — a cheap Catalyst-visible sufficient-fail predicate) are
+    # sharded; the rare long-text giant falls through to the normal kernel,
+    # which applies the exact gate and can still layout-extract the whole
+    # doc correctly, just unsalted.
+    from paraocr_spark.core.quality import MIN_NATIVE_TEXT_CHARS
+
+    text_cant_fastpath = F.col("text").isNull() | (
+        F.length("text") < F.lit(MIN_NATIVE_TEXT_CHARS)
+    )
+    giant_cond = giant_condition() & text_cant_fastpath
     normal = pages.where(~F.coalesce(giant_cond, F.lit(False))).select(
         *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
     )
-    singles = extract_kernel(normal).drop("shard_id", "n_shards")
+    singles = extract_kernel(normal, backend, backend_kwargs).drop(
+        "shard_id", "n_shards"
+    )
 
     giants = salt_pages(pages.where(F.coalesce(giant_cond, F.lit(False))))
-    sharded = _merge_shards_relational(extract_kernel(giants))
+    sharded = _merge_shards_relational(
+        extract_kernel(giants, backend, backend_kwargs)
+    )
     return singles.unionByName(sharded)

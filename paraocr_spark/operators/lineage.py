@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA_DDL = (
     "run_id string, partition_id int, doc_count long, bytes long, "
-    "wall_time_s double, config_fp string"
+    "wall_time_s double, config_fp string, invocation_id string"
 )
 
 
@@ -33,8 +33,12 @@ def config_fingerprint(config: dict) -> str:
 
 
 def lineage_rollup(extracted_with_metrics: DataFrame, run_id: str,
-                   config_fp: str) -> DataFrame:
-    """Roll kernel metric columns (_pid, _doc_bytes, _wall_s) into lineage rows."""
+                   config_fp: str, invocation_id: str = "") -> DataFrame:
+    """Roll kernel metric columns (_pid, _doc_bytes, _wall_s) into lineage rows.
+
+    ``run_id`` is the user-facing label; ``invocation_id`` (run_id + uuid,
+    stamped by run_and_write) uniquely scopes one invocation so resumed
+    runs never double-count prior appends."""
     return (
         extracted_with_metrics
         .groupBy(F.col("_pid").alias("partition_id"))
@@ -47,5 +51,6 @@ def lineage_rollup(extracted_with_metrics: DataFrame, run_id: str,
             F.lit(run_id).alias("run_id"),
             "partition_id", "doc_count", "bytes", "wall_time_s",
             F.lit(config_fp).alias("config_fp"),
+            F.lit(invocation_id).alias("invocation_id"),
         )
     )

@@ -168,7 +168,15 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
     """
     import pandas as pd
 
-    rows = emb.select(vec_col).limit(sample).collect()
+    # uniform seeded sample — limit() would take the first rows of the
+    # first partitions, biasing centroids at scale; cap the fraction so the
+    # driver never collects more than ~2x `sample` rows
+    n_total = emb.count()
+    frac = min(1.0, (sample * 2.0) / max(n_total, 1))
+    rows = (
+        emb.select(vec_col).sample(fraction=frac, seed=20250816)
+        .limit(sample).collect()
+    )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(20250816)

@@ -35,17 +35,50 @@ EXTRACTED_COLS = [
 
 @dataclass
 class PipelineConfig:
-    """Job knobs — the OCRConfig analog (config.py:22-62), spark-submit args."""
+    """Job knobs — the OCRConfig analog (config.py:22-62), spark-submit args.
+
+    ``backend`` selects the extractor strategy by registry name or dotted
+    module.Class path (backends.py) — the --ocr-backend analog
+    (cli.py:101-123). It feeds the fingerprint, so swapping backends
+    invalidates resume checkpoints like the reference's cache_version bump.
+    ``ignore_url_keywords``: documents whose url matches any keyword
+    (case-insensitive substring) are skipped BEFORE extraction — the
+    --ignore-keywords analog (cli.py:249-251), pushed into the source scan.
+    """
     run_id: str = "run0"
     salt: bool = True
     min_partitions: int | None = None
+    backend: str = "default"
+    backend_kwargs: dict = field(default_factory=dict)
+    ignore_url_keywords: list = field(default_factory=list)
     extra: dict = field(default_factory=dict)
 
     @property
     def fingerprint(self) -> str:
         return config_fingerprint(
-            {"salt": self.salt, "version": 1, **self.extra}
+            {
+                "salt": self.salt,
+                "version": 1,
+                "backend": self.backend,
+                "backend_kwargs": self.backend_kwargs,
+                "ignore_url_keywords": sorted(self.ignore_url_keywords),
+                **self.extra,
+            }
         )
+
+
+def ignore_keyword_filter(pages: DataFrame, keywords: list) -> DataFrame:
+    """Drop pages whose url contains any keyword, case-insensitive — the
+    S3 ignore-keyword filter (cli.py:249-251 analog). A plain Catalyst
+    filter sitting directly above the scan: evaluated JVM-side before any
+    Python ever sees the row."""
+    if not keywords:
+        return pages
+    low = F.lower(F.col("url"))
+    cond = F.lit(False)
+    for k in keywords:
+        cond = cond | low.contains(k.lower())
+    return pages.where(~cond)
 
 
 def run_extraction(
@@ -58,12 +91,17 @@ def run_extraction(
 
     ``done`` is the prior output for resume (None = fresh run).
     """
+    from paraocr_spark.backends import preflight_backend
+
     cfg = cfg or PipelineConfig()
+    preflight_backend(cfg.backend, cfg.backend_kwargs)  # fail fast on driver
+    pages = ignore_keyword_filter(pages, cfg.ignore_url_keywords)
     todo = filter_unprocessed(pages, done, cfg.fingerprint)
     if cfg.min_partitions:
         # round-robin spread: evens out HTML-size skew without a key shuffle
         todo = todo.repartition(cfg.min_partitions)
-    out = extract_pages(todo, salt=cfg.salt)
+    out = extract_pages(todo, salt=cfg.salt, backend=cfg.backend,
+                        backend_kwargs=cfg.backend_kwargs)
     out = out.withColumn("config_fp", F.lit(cfg.fingerprint))
     extracted = out.select(*EXTRACTED_COLS, "config_fp")
     lineage = lineage_rollup(out, cfg.run_id, cfg.fingerprint)
@@ -79,7 +117,17 @@ def run_and_write(
     done: DataFrame | None = None,
 ) -> dict:
     """Execute and append to the extracted + lineage tables; returns metrics."""
+    import uuid
+
+    from paraocr_spark.backends import preflight_backend
+
     cfg = cfg or PipelineConfig()
+    preflight_backend(cfg.backend, cfg.backend_kwargs)  # fail fast on driver
+    # unique per INVOCATION: a resume that reuses the user-facing run_id
+    # (the natural way to resume, and the default 'run0') must not roll
+    # prior appends' rows into this invocation's lineage/metrics
+    invocation_id = f"{cfg.run_id}-{uuid.uuid4().hex[:12]}"
+    pages = ignore_keyword_filter(pages, cfg.ignore_url_keywords)
     todo = filter_unprocessed(pages, done, cfg.fingerprint)
     if cfg.min_partitions:
         todo = todo.repartition(cfg.min_partitions)
@@ -90,23 +138,35 @@ def run_and_write(
     # full corpus in executor memory would not survive 100 TB; re-deriving
     # lineage from the logical plan would re-run the extraction.
     out = (
-        extract_pages(todo, salt=cfg.salt)
+        extract_pages(todo, salt=cfg.salt, backend=cfg.backend,
+                      backend_kwargs=cfg.backend_kwargs)
         .withColumn("config_fp", F.lit(cfg.fingerprint))
         .withColumn("run_id", F.lit(cfg.run_id))
+        .withColumn("invocation_id", F.lit(invocation_id))
     )
     t0 = time.perf_counter()
     pio.write_extracted(out, out_path)
-    # this run's slice of the (append-mode) table: partition-pruned by the
-    # run_id predicate, column-pruned to the metric columns. ONE action:
-    # the lineage rollup is tiny (a row per partition), so collect it, get
-    # the row count from it, and write it back from the driver — instead of
-    # separate count + lineage jobs.
-    written = pio.read_table(spark, out_path).where(F.col("run_id") == cfg.run_id)
-    lin = lineage_rollup(written, cfg.run_id, cfg.fingerprint)
+    # this invocation's slice of the (append-mode) table: the run_id
+    # predicate prunes to this run's partition directories (write_extracted
+    # partitions by run_id/warc_bucket), and invocation_id — constant per
+    # file — lets parquet min/max stats skip earlier resumes' files without
+    # reading their pages. ONE action: the lineage rollup is tiny (a row
+    # per partition), so collect it, get the row count from it, and write
+    # it back from the driver — instead of separate count + lineage jobs.
+    written = pio.read_table(spark, out_path).where(
+        (F.col("run_id") == cfg.run_id)
+        & (F.col("invocation_id") == invocation_id)
+    )
+    lin = lineage_rollup(written, cfg.run_id, cfg.fingerprint, invocation_id)
     lin_rows = lin.collect()
     n = sum(r.doc_count for r in lin_rows)
     pio.write_lineage(
         spark.createDataFrame(lin_rows, schema=lin.schema), lineage_path
     )
     wall = time.perf_counter() - t0
-    return {"rows": n, "wall_s": wall, "docs_per_sec": (n / wall if wall > 0 else 0.0)}
+    return {
+        "rows": n,
+        "wall_s": wall,
+        "docs_per_sec": (n / wall if wall > 0 else 0.0),
+        "invocation_id": invocation_id,
+    }

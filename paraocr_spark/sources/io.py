@@ -34,13 +34,20 @@ def with_warc_bucket(df: DataFrame, n_buckets: int = WARC_BUCKETS) -> DataFrame:
 
 
 def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Append extracted rows partitioned by bucket(warc_ts) (north rule)."""
+    """Append extracted rows partitioned by (run_id, bucket(warc_ts)).
+
+    run_id (when present) is the OUTER partition so each run's appends land
+    in their own directories — the lineage read-back prunes to the current
+    run instead of scanning every prior append; within a run, a constant
+    invocation_id column lets parquet file stats skip earlier resumes'
+    files without reading their pages."""
     spark = df.sparkSession
     if _iceberg_available(spark) and path.count(".") >= 1 and "/" not in path:
         # Iceberg catalog table name, e.g. "cat.db.extracted"
         df.writeTo(path).append()
         return
-    (
+    parts = (["run_id"] if "run_id" in df.columns else []) + ["warc_bucket"]
+    w = (
         with_warc_bucket(df)
         # co-locate each bucket in one task BEFORE the partitioned write:
         # without this every task holds an open writer per bucket (buckets x
@@ -48,9 +55,13 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
         # at 24k docs)
         .repartition(WARC_BUCKETS, F.col("warc_bucket"))
         .write.mode(mode)
-        .partitionBy("warc_bucket")
-        .parquet(path)
+        .partitionBy(*parts)
     )
+    if mode == "overwrite":
+        # replace only the partitions present in df (idempotent micro-batch
+        # replay), never the whole table
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
 
 
 def write_lineage(df: DataFrame, path: str, mode: str = "append") -> None:
@@ -78,9 +89,10 @@ def compact_table(spark: SparkSession, path: str,
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     staging = path.rstrip("/") + "__compacting"
+    parts = (["run_id"] if "run_id" in df.columns else []) + ["warc_bucket"]
     (
         df.repartition(n_files, F.col("warc_bucket"))
-        .write.mode("overwrite").partitionBy("warc_bucket").parquet(staging)
+        .write.mode("overwrite").partitionBy(*parts).parquet(staging)
     )
     backup = path.rstrip("/") + "__old"
     os.rename(path, backup)

@@ -7,8 +7,12 @@ extracts new files as they land:
 
   * ``extract_stream`` uses **foreachBatch**, so every micro-batch runs the
     exact same plan as the batch pipeline (salting, kernel, reassembly,
-    bucketed append, lineage) — one code path, tested once, exactly-once
-    per micro-batch via the checkpoint;
+    bucketed write, lineage) — one code path, tested once. foreachBatch
+    alone is at-least-once (a batch retried after a mid-write failure
+    would duplicate rows), so the batch write is made IDEMPOTENT: each
+    micro-batch lands in its own ``run_id=<run>-b<batch_id>`` partition
+    via dynamic partition overwrite — a replay overwrites exactly its own
+    partition, giving effective exactly-once end to end;
   * ``method_counts_stream`` is a pure streaming aggregation (watermark +
     tumbling window over warc_ts) for live quality monitoring — the analog
     of the reference's perf-log sink (parallel.py:124-137) as a stream.
@@ -47,11 +51,14 @@ def extract_stream(spark: SparkSession, input_path: str, output_path: str,
         out = (
             extract_pages(batch_df, salt=cfg.salt)
             .withColumn("config_fp", F.lit(cfg.fingerprint))
-            .withColumn("run_id", F.lit(f"{cfg.run_id}-{batch_id}"))
+            # batch_id in the partition value + dynamic partition OVERWRITE
+            # = idempotent replay (the retried batch replaces only its own
+            # run_id=... directory, never touching other batches')
+            .withColumn("run_id", F.lit(f"{cfg.run_id}-b{batch_id}"))
         )
         pio.write_extracted(out.select(*EXTRACTED_COLS, "config_fp", "run_id",
                                        "_pid", "_doc_bytes", "_wall_s"),
-                            output_path)
+                            output_path, mode="overwrite")
 
     writer = (
         read_pages_stream(spark, input_path)

@@ -8,9 +8,12 @@
 
 * ``site_stats_stream`` — custom stateful operator via
   ``applyInPandasWithState``: a running per-site (host) document/byte
-  counter that survives across micro-batches, with event-time timeout. This
-  is the pattern for any custom accumulating state Spark lacks natively
-  (session windows over crawl hosts, adaptive quality thresholds, ...).
+  counter that survives across micro-batches. State is bounded by an
+  EVENT-TIME timeout: a site idle past the horizon beyond the watermark is
+  expired and its state removed, so per-site state cannot grow unboundedly
+  at crawl scale. This is the pattern for any custom accumulating state
+  Spark lacks natively (session windows over crawl hosts, adaptive quality
+  thresholds, ...).
 """
 
 from __future__ import annotations
@@ -36,19 +39,34 @@ _SITE_STATS_OUT = "site string, docs long, bytes long"
 _SITE_STATS_STATE = "docs long, bytes long"
 
 
+def _duration_ms(horizon: str) -> int:
+    qty, unit = horizon.split()
+    per = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+           "day": 86_400_000}[unit.rstrip("s")]
+    return int(qty) * per
+
+
 def site_stats_stream(pages_stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Running per-site totals via applyInPandasWithState.
 
     Emits the updated cumulative (docs, bytes) for each site seen in the
-    micro-batch; state persists across batches via the checkpoint.
+    micro-batch; state persists across batches via the checkpoint. A site
+    with no documents for ``horizon`` past the watermark times out and its
+    state is dropped (EventTimeTimeout) — bounded state at crawl scale.
     """
+    horizon_ms = _duration_ms(horizon)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         docs, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             docs += len(pdf)
             total += int(pdf["nbytes"].fillna(0).sum())
         state.update((docs, total))
+        # expire this site's state once the watermark passes idle + horizon
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
         yield pd.DataFrame({"site": [key[0]], "docs": [docs], "bytes": [total]})
 
     sites = (
@@ -64,5 +82,5 @@ def site_stats_stream(pages_stream: DataFrame, horizon: str = "1 hour") -> DataF
         outputStructType=_SITE_STATS_OUT,
         stateStructType=_SITE_STATS_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

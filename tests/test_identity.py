@@ -81,3 +81,33 @@ def test_error_rows_in_band(result_rows):
             ("layout_error", "html_error")
         )
         assert r.extracted_text is None
+
+
+def test_giant_with_native_text_prefers_fastpath(spark):
+    """A giant layout payload accompanied by gate-PASSING native text must
+    resolve native_text — the serial oracle checks fastpath_ok(text) FIRST
+    (core/reference.py:43), so the salted shard path (which never applies
+    the gate) must not swallow these rows. A giant with long-but-failing
+    text must still layout-extract byte-identically (unsalted path)."""
+    giant = gen_page(169)  # cls 9, i % 160 == 9 -> giant layout payload
+    assert giant["html"] is not None and len(giant["html"]) > 64 * 1024
+    passing = gen_page(6)["text"]  # native-route fixture text, gate passes
+    failing = "zqx wvk " * 30     # long (>=100 chars) but fails the gate
+    rows = [
+        ("https://t.example/fast", giant["warc_ts"], giant["html"], passing, "en"),
+        ("https://t.example/slow", giant["warc_ts"], giant["html"], failing, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r.url: r for r in extract_pages(df).collect()}
+    assert len(got) == 2
+    for url, text in [("https://t.example/fast", passing),
+                      ("https://t.example/slow", failing)]:
+        exp = extract_document(bytes(rows[0][2]), text)
+        r = got[url]
+        assert r.method == exp.method, (url, r.method, exp.method)
+        assert r.extracted_text == exp.extracted_text, url
+        assert [(s["start"], s["end"]) for s in r.spans] == exp.spans, url
+    assert got["https://t.example/fast"].method == "native_text"
+    assert got["https://t.example/slow"].method == "layout_extract"

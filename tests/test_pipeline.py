@@ -100,3 +100,36 @@ def test_config_fingerprint_invalidates_resume(spark, tmp_path):
     assert filter_unprocessed(pages, done, cfg_a.fingerprint).count() == 0
     # changed config: nothing skipped
     assert filter_unprocessed(pages, done, cfg_b.fingerprint).count() == 60
+
+
+def test_lineage_scoped_to_invocation(spark, tmp_path):
+    """A resume that REUSES the same run_id must not roll prior appends'
+    rows into the new invocation's lineage (double-count bug class), and
+    the lineage read-back must partition-prune on run_id."""
+    out = str(tmp_path / "inv_out")
+    lin = str(tmp_path / "inv_lin")
+    m1 = run_and_write(spark, pages_df(spark, 80, 4), out, lin,
+                       PipelineConfig(run_id="same"))
+    assert m1["rows"] == 80
+    done = pio.read_table(spark, out)
+    m2 = run_and_write(spark, pages_df(spark, 120, 4), out, lin,
+                       PipelineConfig(run_id="same"), done)
+    assert m2["rows"] == 40  # only the 40 new docs, not 80 + 40
+    lineage = spark.read.parquet(lin)
+    per_inv = {
+        r.invocation_id: r.total for r in
+        lineage.groupBy("invocation_id").agg(
+            F.sum("doc_count").alias("total")).collect()
+    }
+    assert per_inv[m1["invocation_id"]] == 80
+    assert per_inv[m2["invocation_id"]] == 40
+    # run_id is a physical partition directory -> the read-back predicate
+    # prunes instead of scanning every run's appends
+    import pathlib as _pl
+    dirs = [p.name for p in _pl.Path(out).iterdir() if p.is_dir()]
+    assert any(d == "run_id=same" for d in dirs), dirs
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pio.read_table(spark, out).where(F.col("run_id") == "same").explain()
+    assert "run_id" in buf.getvalue() and "PartitionFilters" in buf.getvalue()

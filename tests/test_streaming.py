@@ -96,3 +96,34 @@ def test_site_stats_stateful_operator(spark, tmp_path):
     # one availableNow batch -> one state row per site; totals cover all docs
     latest = {r.site: r for r in rows}
     assert sum(r.docs for r in latest.values()) == 80
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: re-writing the SAME micro-batch
+    (same run_id partition, dynamic overwrite) must not duplicate rows,
+    and must not touch other batches' partitions."""
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.pipeline import EXTRACTED_COLS
+    from paraocr_spark.sources import io as pio
+
+    out = str(tmp_path / "idem")
+
+    def batch(n, bid):
+        return (
+            extract_pages(pages_df(spark, n, 2))
+            .withColumn("config_fp", F.lit("fp"))
+            .withColumn("run_id", F.lit(f"s-b{bid}"))
+            .select(*EXTRACTED_COLS, "config_fp", "run_id",
+                    "_pid", "_doc_bytes", "_wall_s")
+        )
+
+    pio.write_extracted(batch(40, 0), out, mode="overwrite")
+    assert spark.read.parquet(out).count() == 40
+    pio.write_extracted(batch(40, 0), out, mode="overwrite")  # replay
+    assert spark.read.parquet(out).count() == 40
+    pio.write_extracted(batch(30, 1), out, mode="overwrite")  # next batch
+    assert spark.read.parquet(out).count() == 70
+    pio.write_extracted(batch(40, 0), out, mode="overwrite")  # late replay
+    final = spark.read.parquet(out)
+    assert final.count() == 70
+    assert final.where(F.col("run_id") == "s-b0").count() == 40
