@@ -34,7 +34,9 @@ def _ensure_shipped(spark: SparkSession) -> None:
     sources = []
     for dirpath, _, files in os.walk(pkg):
         for f in sorted(files):
-            if f.endswith(".py"):
+            # .txt: bundled data fixtures (e.g. the BPE merges table) read
+            # via importlib.resources, which resolves inside the zip
+            if f.endswith((".py", ".txt")):
                 sources.append(os.path.join(dirpath, f))
     # name the zip by a content hash so edits to paraocr_spark never ship a
     # stale executor copy (addPyFile caches by filename)
@@ -274,6 +276,22 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_doc_stats_bpe(spark, sf_dir):
+    """REAL byte-pair-encoding token count (functions/bpe.py: bundled
+    merges fixture, greedy rank-ordered merge loop, per-worker memoized) —
+    upgrade of the regex approximation in doc_stats."""
+    from paraocr_spark.functions.bpe import token_count_bpe_vocab
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_bpe_vocab(F.col("text"))).alias("total_bpe_tokens"),
+        )
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from paraocr_spark.functions.text import fingerprint
 
@@ -382,6 +400,7 @@ _RAW_QUERIES = {
         "lang_id": _q_lang_id,
     "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
+    "doc_stats_bpe": _q_doc_stats_bpe,
         "fingerprint": _q_fingerprint,
         "length_quantiles": _q_length_quantiles,
     "doc_stats_cube": _q_doc_stats_cube,
@@ -528,6 +547,35 @@ def _lang_ngram_oracle_sql() -> str:
         for lang in LANG_TRIGRAMS
     )
     return f"select doc_id, case {cases} else 'und' end as lang_pred from documents"
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of the real-BPE token count: each training-vocab word's
+    token count is precomputed from the SAME bundled merges fixture and
+    embedded as a map; the len(t)+1 fallback (character-split + end marker,
+    what encode_word yields when no merge applies) only guards words
+    outside the fixture's corpus — at the driver's sf the map is total."""
+    from importlib import resources
+
+    from paraocr_spark.functions.bpe import encode_word
+
+    vocab = [
+        line.split()[0]
+        for line in resources.files("paraocr_spark.functions")
+        .joinpath("bpe_train_vocab.txt").read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    ]
+    keys = ",".join(f"'{w}'" for w in vocab)
+    vals = ",".join(str(len(encode_word(w))) for w in vocab)
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    per_doc = (
+        f"coalesce(list_sum(list_transform({toks}, "
+        f"t -> coalesce(map([{keys}],[{vals}])[t][1], len(t) + 1))), 0)"
+    )
+    return (
+        f"select lang, count(*) as n_docs, sum({per_doc})::bigint as total_bpe_tokens "
+        "from documents group by lang"
+    )
 
 
 def _ann_lsh_oracle_sql(k: int = 5, n_queries: int = 20) -> str:
@@ -692,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::bigint as total_bpe_tokens, "
             "round(avg(n_chars), 6) as avg_chars from documents group by source"
         ),
+        "doc_stats_bpe": _bpe_oracle_sql(),
         "fingerprint": (
             f"select doc_id, md5({norm}) as fp_md5, sha256({norm}) as fp_sha256 from documents"
         ),

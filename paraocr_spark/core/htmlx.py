@@ -72,7 +72,9 @@ def segment_blocks(markup: str) -> list[Block]:
     tag_stack: list[str] = []
 
     def flush() -> None:
-        nonlocal buf, anchor_chars, total_chars
+        nonlocal anchor_chars, total_chars
+        if not buf:  # ~2/3 of block-tag boundaries carry no pending text
+            return   # (counters are only nonzero when buf is nonempty)
         raw = "".join(buf)
         # identical to _WS_RE.sub(" ", raw).strip(), ~3x faster
         text = " ".join(raw.split())
@@ -86,25 +88,26 @@ def segment_blocks(markup: str) -> list[Block]:
                     tag=tag_stack[-1] if tag_stack else "",
                 )
             )
-        buf = []
+        buf.clear()  # in place: the loop holds a bound buf.append
         anchor_chars = 0
         total_chars = 0
 
+    buf_append = buf.append
     for m in _TOK_RE.finditer(markup):
-        slash, name, txt = m.group(1, 2, 4)
-        if txt is not None:  # text run
+        if m.lastindex == 4:  # text run (only group 4 participated)
+            txt = m.group(4)
             text = _htmlmod.unescape(txt) if "&" in txt else txt
             stripped = text.strip()
             if stripped:
-                buf.append(text)
+                buf_append(text)
                 n = len(stripped)
                 total_chars += n
                 if anchor_depth > 0:
                     anchor_chars += n
             elif buf:
-                buf.append(" ")
+                buf_append(" ")
             continue
-        closing, name = slash == "/", name.lower()
+        closing, name = m.group(1) == "/", m.group(2).lower()
         if name == "a":
             if closing:
                 anchor_depth = max(0, anchor_depth - 1)
