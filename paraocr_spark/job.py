@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ignore-keywords", default=None,
                    help="comma-separated url keywords to skip, "
                    "case-insensitive substring (cli.py:249-251 analog)")
+    p.add_argument("--warc-buckets", type=int, default=64,
+                   help="bucket(warc_ts) fan-out of the output layout — "
+                   "size to the table (hundreds at 100 TB, ~2x cores for "
+                   "small runs)")
+    p.add_argument("--shard-cache", default=None,
+                   help="parquet path for shard-level partial-result reuse "
+                   "on giant docs (the per-page txt cache analog, "
+                   "parallel.py:431-448): finished shards of an interrupted "
+                   "run are never re-extracted")
     p.add_argument("--master", default=None, help="override master (local[N] for bench)")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--repartition", action="store_true",
@@ -122,9 +131,16 @@ def main(argv: list[str] | None = None) -> int:
                 done = None  # first run: nothing to resume from
 
         if args.warmup:
+            from pyspark.sql import functions as F
+
             from paraocr_spark.operators.extract import extract_pages
             warm = pages_df(spark, 64 * (args.partitions or 8), args.partitions or 8)
             extract_pages(warm).count()
+            # warm the INPUT scan too (OS page cache + parquet footers):
+            # otherwise the timed run pays a cold 100 MB/s disk read on some
+            # trials and none on others — a ±20% wall-clock lottery that has
+            # nothing to do with the engine
+            pages.select(F.sum(F.octet_length("html"))).collect()
 
         cfg = PipelineConfig(
             run_id=args.run_id, salt=not args.no_salt,
@@ -135,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
                 [k.strip() for k in args.ignore_keywords.split(",") if k.strip()]
                 if args.ignore_keywords else []
             ),
+            shard_cache_path=args.shard_cache,
+            warc_buckets=args.warc_buckets,
         )
         metrics = run_and_write(spark, pages, args.output, args.lineage, cfg, done)
         if args.errors:

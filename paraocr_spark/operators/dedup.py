@@ -3,20 +3,22 @@
 Four families, all shuffle-conscious:
 
   * exact           — fingerprint groupBy (one shuffle, map-side partial agg)
-  * ngram-jaccard   — exact set-similarity via inverted-index join
+  * ngram-jaccard   — exact set-similarity; PPJoin prefix-filtered
+                       inverted-index join by default (naive full index
+                       kept as the small-N test oracle)
   * minhash-LSH     — 64-perm MinHash signatures + banded bucket join +
                        exact-jaccard verification (the web-scale near-dup
                        pipeline: SIGMOD'07 "Detecting Near-Duplicates for
                        Web Crawling" lineage)
   * simhash         — 64-bit SimHash built entirely from relational ops
-                       (explode + 64 partial aggregates), banded hamming join
+                       (explode + per-bit partial aggregates); candidates
+                       via Manku'07 combination-block keys (~2/3-width
+                       block keys, so buckets stay tiny at web scale),
+                       exact hamming verify
 
 Everything is pyspark.sql built-ins — zero Python UDFs — so Catalyst sees
 the whole plan: shuffles are keyed on doc_id or band hashes, partial
 aggregation happens map-side, and AQE handles skewed shingle frequencies.
-At 100 TB the ngram-jaccard inverted index needs prefix filtering (PPJoin;
-``dedup_ngram_jaccard(prefix_filter=True)``) so ubiquitous shingles — the
-quadratic candidate blowup — never enter the index.
 """
 
 from __future__ import annotations

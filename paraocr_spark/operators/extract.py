@@ -228,7 +228,7 @@ def extract_pages(pages: DataFrame, *, salt: bool = True,
     Python — is cheap; the alternative (persisting the kernel output) would
     materialize the full corpus at 100 TB.
     """
-    from paraocr_spark.operators.skew import giant_condition, salt_pages
+    from paraocr_spark.operators.skew import salt_pages
 
     base_cols = ["url", "warc_ts", "html", "text", "lang"]
     if not salt:
@@ -239,16 +239,31 @@ def extract_pages(pages: DataFrame, *, salt: bool = True,
             "shard_id", "n_shards"
         )
 
-    # A giant layout payload accompanied by gate-PASSING native text must
-    # resolve native_text (the serial oracle checks fastpath_ok(text)
-    # FIRST, core/reference.py:43) — but the shard path never applies the
-    # gate. So only docs whose text DEFINITELY fails the gate (null or too
-    # short — a cheap Catalyst-visible sufficient-fail predicate) are
-    # sharded; the rare long-text giant falls through to the normal kernel,
-    # which applies the exact gate and can still layout-extract the whole
-    # doc correctly, just unsalted.
-    from paraocr_spark.core.quality import MIN_NATIVE_TEXT_CHARS
+    normal, giant_pages = split_normal_giants(pages)
+    singles = extract_kernel(normal, backend, backend_kwargs).drop(
+        "shard_id", "n_shards"
+    )
+    sharded = _merge_shards_relational(
+        extract_kernel(salt_pages(giant_pages), backend, backend_kwargs)
+    )
+    return singles.unionByName(sharded)
 
+
+def split_normal_giants(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(normal_prepped, giant_pages): the gate-aware giant split.
+
+    A giant layout payload accompanied by gate-PASSING native text must
+    resolve native_text (the serial oracle checks fastpath_ok(text) FIRST,
+    core/reference.py:43) — but the shard path never applies the gate. So
+    only docs whose text DEFINITELY fails the gate (null or too short — a
+    cheap Catalyst-visible sufficient-fail predicate) are sharded; the rare
+    long-text giant falls through to the normal kernel, which applies the
+    exact gate and can still layout-extract the whole doc correctly, just
+    unsalted."""
+    from paraocr_spark.core.quality import MIN_NATIVE_TEXT_CHARS
+    from paraocr_spark.operators.skew import giant_condition
+
+    base_cols = ["url", "warc_ts", "html", "text", "lang"]
     text_cant_fastpath = F.col("text").isNull() | (
         F.length("text") < F.lit(MIN_NATIVE_TEXT_CHARS)
     )
@@ -256,12 +271,5 @@ def extract_pages(pages: DataFrame, *, salt: bool = True,
     normal = pages.where(~F.coalesce(giant_cond, F.lit(False))).select(
         *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
     )
-    singles = extract_kernel(normal, backend, backend_kwargs).drop(
-        "shard_id", "n_shards"
-    )
-
-    giants = salt_pages(pages.where(F.coalesce(giant_cond, F.lit(False))))
-    sharded = _merge_shards_relational(
-        extract_kernel(giants, backend, backend_kwargs)
-    )
-    return singles.unionByName(sharded)
+    giants = pages.where(F.coalesce(giant_cond, F.lit(False))).select(*base_cols)
+    return normal, giants

@@ -51,6 +51,15 @@ class PipelineConfig:
     backend: str = "default"
     backend_kwargs: dict = field(default_factory=dict)
     ignore_url_keywords: list = field(default_factory=list)
+    #: optional parquet path for SHARD-level partial-result reuse on giant
+    #: docs — the analog of the reference's per-page txt cache
+    #: (parallel.py:431-448): a killed run's finished shards are never
+    #: re-extracted on resume
+    shard_cache_path: str | None = None
+    #: bucket(warc_ts) fan-out of the output layout (Iceberg bucket(N)
+    #: analog): size to the table, not the cluster — hundreds at 100 TB,
+    #: ~2x cores for small runs
+    warc_buckets: int = 64
     extra: dict = field(default_factory=dict)
 
     @property
@@ -79,6 +88,69 @@ def ignore_keyword_filter(pages: DataFrame, keywords: list) -> DataFrame:
     for k in keywords:
         cond = cond | low.contains(k.lower())
     return pages.where(~cond)
+
+
+def extract_with_shard_cache(
+    spark: SparkSession, todo: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Extraction with SHARD-granular partial-result reuse for giant docs.
+
+    The reference resumes at page granularity via its txt cache
+    (parallel.py:431-448): pages finished before a crash are never redone.
+    Spark's parquet job commit is all-or-nothing per WRITE, so whole-doc
+    resume (the url anti-join) loses every finished shard of an interrupted
+    run. This path closes that gap for the expensive rows: giant-doc shards
+    are extracted first and appended to a cache table keyed by
+    (url, shard_id, config_fp); reassembly always reads from the cache, and
+    a resumed run anti-joins against it so only MISSING shards pay the
+    kernel. Normal docs keep whole-doc granularity — they are small, and a
+    per-doc cache write for 99% of the corpus would double the write volume.
+
+    NOTE eager: appending fresh shards to the cache is an ACTION (runs the
+    giant kernel when called); the returned DataFrame is lazy only in the
+    normal-doc branch + reassembly. Reused shards keep their original
+    _pid/_doc_bytes/_wall_s, so a resumed run's lineage attributes cached
+    work to the invocation that actually did it.
+    """
+    from paraocr_spark.operators.extract import (
+        _merge_shards_relational,
+        extract_kernel,
+        split_normal_giants,
+    )
+    from paraocr_spark.operators.skew import salt_pages
+
+    normal, giant_pages = split_normal_giants(todo)
+    shards = salt_pages(giant_pages)
+    cache: DataFrame | None = None
+    try:
+        cache = spark.read.parquet(cfg.shard_cache_path)
+    except Exception:
+        cache = None  # first run: no cache yet
+    shards_todo = shards
+    if cache is not None:
+        done_keys = (
+            cache.where(F.col("config_fp") == cfg.fingerprint)
+            .select("url", "shard_id")
+        )
+        shards_todo = shards.join(done_keys, ["url", "shard_id"], "left_anti")
+    fresh = extract_kernel(
+        shards_todo, cfg.backend, cfg.backend_kwargs
+    ).withColumn("config_fp", F.lit(cfg.fingerprint))
+    fresh.write.mode("append").parquet(cfg.shard_cache_path)
+
+    relevant = (
+        spark.read.parquet(cfg.shard_cache_path)
+        .where(F.col("config_fp") == cfg.fingerprint)
+        # this run's giants only (the cache may hold other runs' urls), and
+        # one row per shard even if an at-least-once append duplicated any
+        .join(giant_pages.select("url").distinct(), "url", "left_semi")
+        .dropDuplicates(["url", "shard_id"])
+        .drop("config_fp")
+    )
+    singles = extract_kernel(normal, cfg.backend, cfg.backend_kwargs).drop(
+        "shard_id", "n_shards"
+    )
+    return singles.unionByName(_merge_shards_relational(relevant))
 
 
 def run_extraction(
@@ -137,15 +209,20 @@ def run_and_write(
     # a column-pruned parquet scan of three metric columns. Persisting the
     # full corpus in executor memory would not survive 100 TB; re-deriving
     # lineage from the logical plan would re-run the extraction.
+    t0 = time.perf_counter()  # before plan build: the shard-cache path is eager
+    extracted_df = (
+        extract_with_shard_cache(spark, todo, cfg)
+        if (cfg.shard_cache_path and cfg.salt)
+        else extract_pages(todo, salt=cfg.salt, backend=cfg.backend,
+                           backend_kwargs=cfg.backend_kwargs)
+    )
     out = (
-        extract_pages(todo, salt=cfg.salt, backend=cfg.backend,
-                      backend_kwargs=cfg.backend_kwargs)
+        extracted_df
         .withColumn("config_fp", F.lit(cfg.fingerprint))
         .withColumn("run_id", F.lit(cfg.run_id))
         .withColumn("invocation_id", F.lit(invocation_id))
     )
-    t0 = time.perf_counter()
-    pio.write_extracted(out, out_path)
+    pio.write_extracted(out, out_path, n_buckets=cfg.warc_buckets)
     # this invocation's slice of the (append-mode) table: the run_id
     # predicate prunes to this run's partition directories (write_extracted
     # partitions by run_id/warc_bucket), and invocation_id — constant per

@@ -33,7 +33,8 @@ def with_warc_bucket(df: DataFrame, n_buckets: int = WARC_BUCKETS) -> DataFrame:
     )
 
 
-def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_extracted(df: DataFrame, path: str, mode: str = "append",
+                    n_buckets: int = WARC_BUCKETS) -> None:
     """Append extracted rows partitioned by (run_id, bucket(warc_ts)).
 
     run_id (when present) is the OUTER partition so each run's appends land
@@ -46,14 +47,17 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append") -> None:
         # Iceberg catalog table name, e.g. "cat.db.extracted"
         df.writeTo(path).append()
         return
+    # n_buckets is a LAYOUT knob (Iceberg bucket(N) analog): hundreds at
+    # 100 TB, small for small tables — 64 buckets on a 2.4 GB bench table
+    # is pure shuffle + tiny-file overhead
     parts = (["run_id"] if "run_id" in df.columns else []) + ["warc_bucket"]
     w = (
-        with_warc_bucket(df)
+        with_warc_bucket(df, n_buckets)
         # co-locate each bucket in one task BEFORE the partitioned write:
         # without this every task holds an open writer per bucket (buckets x
         # tasks tiny files, writer memory, and a 6x wall-time hit measured
         # at 24k docs)
-        .repartition(WARC_BUCKETS, F.col("warc_bucket"))
+        .repartition(n_buckets, F.col("warc_bucket"))
         .write.mode(mode)
         .partitionBy(*parts)
     )
@@ -77,6 +81,12 @@ def compact_table(spark: SparkSession, path: str,
     overhead. Rewrite each warc_bucket partition into ~target_file_mb files
     — the parquet stand-in for Iceberg's rewrite_data_files compaction.
     Writes to a staging dir then swaps, so readers never see a half state.
+
+    CAVEAT: the swap uses os.rename, which is atomic on POSIX filesystems
+    but does NOT exist on object stores (S3/GCS have no rename; "renames"
+    are copy+delete and non-atomic). On a real deployment use the Iceberg
+    branch (snapshot-isolated rewrite_data_files) — this fallback is only
+    for filesystem-backed tables like this sandbox.
     """
     import math
     import os
