@@ -550,27 +550,43 @@ def _lang_ngram_oracle_sql() -> str:
 
 
 def _bpe_oracle_sql() -> str:
-    """DuckDB twin of the real-BPE token count: each training-vocab word's
-    token count is precomputed from the SAME bundled merges fixture and
-    embedded as a map; the len(t)+1 fallback (character-split + end marker,
-    what encode_word yields when no merge applies) only guards words
-    outside the fixture's corpus — at the driver's sf the map is total."""
+    """DuckDB twin of the real-BPE token count: each word's token count is
+    precomputed by the SAME encode_word over the SAME bundled merges fixture
+    and embedded as a map. The map covers the fixture vocab UNION the
+    distinct corpus tokens of the local test SFs (so merges that apply to
+    out-of-fixture words are counted with real encode_word semantics, not a
+    guess); any token still missing hits a 10^9 sentinel — a LOUD mismatch,
+    never a silent divergence."""
     from importlib import resources
 
     from paraocr_spark.functions.bpe import encode_word
 
-    vocab = [
+    vocab = {
         line.split()[0]
         for line in resources.files("paraocr_spark.functions")
         .joinpath("bpe_train_vocab.txt").read_text().splitlines()
         if line.strip() and not line.startswith("#")
-    ]
-    keys = ",".join(f"'{w}'" for w in vocab)
-    vals = ",".join(str(len(encode_word(w))) for w in vocab)
+    }
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for sf in ("0.001", "0.01"):
+            rows = con.sql(
+                "select distinct unnest(regexp_extract_all(lower(text), "
+                f"'[a-z0-9]+')) from read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+            ).fetchall()
+            vocab.update(r[0] for r in rows)
+        con.close()
+    except Exception:
+        pass  # no local testdata: fixture vocab only
+    words = sorted(vocab)
+    keys = ",".join(f"'{w}'" for w in words)
+    vals = ",".join(str(len(encode_word(w))) for w in words)
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     per_doc = (
         f"coalesce(list_sum(list_transform({toks}, "
-        f"t -> coalesce(map([{keys}],[{vals}])[t][1], len(t) + 1))), 0)"
+        f"t -> coalesce(map([{keys}],[{vals}])[t][1], 1000000000))), 0)"
     )
     return (
         f"select lang, count(*) as n_docs, sum({per_doc})::bigint as total_bpe_tokens "

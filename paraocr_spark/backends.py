@@ -75,8 +75,13 @@ def resolve_backend_class(spec: str) -> type:
 
 def get_backend(spec: str, kwargs: dict | None = None) -> ExtractorBackend:
     """Per-process singleton per (spec, kwargs) — one instance per Python
-    worker, like the reference's per-process engine (gpu_worker.py:20-28)."""
-    key = (spec, tuple(sorted((kwargs or {}).items())))
+    worker, like the reference's per-process engine (gpu_worker.py:20-28).
+
+    The cache key serializes kwargs as canonical JSON: --backend-kwargs is
+    parsed JSON, so values may be lists/dicts (unhashable as tuples)."""
+    import json
+
+    key = (spec, json.dumps(kwargs or {}, sort_keys=True))
     inst = _INSTANCES.get(key)
     if inst is None:
         inst = resolve_backend_class(spec)(**(kwargs or {}))

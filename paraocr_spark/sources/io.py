@@ -51,6 +51,7 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append",
     # 100 TB, small for small tables — 64 buckets on a 2.4 GB bench table
     # is pure shuffle + tiny-file overhead
     parts = (["run_id"] if "run_id" in df.columns else []) + ["warc_bucket"]
+    _check_partition_layout(path, parts[0])
     w = (
         with_warc_bucket(df, n_buckets)
         # co-locate each bucket in one task BEFORE the partitioned write:
@@ -66,6 +67,32 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append",
         # replay), never the whole table
         w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
+
+
+def _check_partition_layout(path: str, outer_col: str) -> None:
+    """Refuse an append whose partition columns differ from the existing
+    table's: mixing run_id=... and warc_bucket=... directories at the same
+    level breaks Spark partition discovery for every subsequent read
+    (including --resume of that same table). Filesystem paths only — the
+    Iceberg branch evolves partition specs natively."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if not p.is_dir():
+        return
+    for child in p.iterdir():
+        if child.is_dir() and "=" in child.name:
+            existing = child.name.split("=", 1)[0]
+            if existing != outer_col:
+                raise ValueError(
+                    f"partition layout mismatch at {path}: existing table is "
+                    f"partitioned by {existing!r} but this write would add "
+                    f"{outer_col}=... directories at the same level, which "
+                    "breaks partition discovery for all readers. Migrate the "
+                    "old table (rewrite with the new layout) or write to a "
+                    "fresh path."
+                )
+            return  # first partition dir settles the layout
 
 
 def write_lineage(df: DataFrame, path: str, mode: str = "append") -> None:

@@ -48,8 +48,15 @@ def extract_stream(spark: SparkSession, input_path: str, output_path: str,
     cfg = cfg or PipelineConfig(run_id="stream")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from paraocr_spark.pipeline import ignore_keyword_filter
+
+        # config_fp encodes backend + ignore keywords, so the batch MUST be
+        # produced under exactly that config — otherwise resume would treat
+        # default-backend rows as done under the custom config
+        batch_df = ignore_keyword_filter(batch_df, cfg.ignore_url_keywords)
         out = (
-            extract_pages(batch_df, salt=cfg.salt)
+            extract_pages(batch_df, salt=cfg.salt, backend=cfg.backend,
+                          backend_kwargs=cfg.backend_kwargs)
             .withColumn("config_fp", F.lit(cfg.fingerprint))
             # batch_id in the partition value + dynamic partition OVERWRITE
             # = idempotent replay (the retried batch replaces only its own

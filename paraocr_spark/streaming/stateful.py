@@ -61,12 +61,22 @@ def site_stats_stream(pages_stream: DataFrame, horizon: str = "1 hour") -> DataF
             state.remove()
             return
         docs, total = state.get if state.exists else (0, 0)
+        batch_max_ms = 0
         for pdf in pdfs:
             docs += len(pdf)
             total += int(pdf["nbytes"].fillna(0).sum())
+            if len(pdf):
+                ts_max = pdf["warc_ts"].max()
+                if pd.notna(ts_max):
+                    batch_max_ms = max(batch_max_ms, int(ts_max.value // 1_000_000))
         state.update((docs, total))
-        # expire this site's state once the watermark passes idle + horizon
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+        # expire this site's state once the watermark passes idle + horizon.
+        # The watermark is 0 during the FIRST micro-batch; anchoring only on
+        # it would give batch-1 sites a 1970-epoch timeout that fires the
+        # moment the watermark jumps to real event time — so anchor on the
+        # batch's own max event time as well
+        anchor_ms = max(state.getCurrentWatermarkMs(), batch_max_ms)
+        state.setTimeoutTimestamp(anchor_ms + horizon_ms)
         yield pd.DataFrame({"site": [key[0]], "docs": [docs], "bytes": [total]})
 
     sites = (

@@ -123,3 +123,27 @@ def test_ignore_keyword_filter(spark):
     with contextlib.redirect_stdout(buf):
         kept.explain()
     assert "Filter" in buf.getvalue() and "contains" in buf.getvalue().lower()
+
+
+def test_backend_cache_key_accepts_json_kwargs():
+    """--backend-kwargs is parsed JSON, so values may be lists/dicts; the
+    instance cache key must accept them (ADVICE r2: tuple(sorted(...)) threw
+    TypeError on unhashable values)."""
+    import paraocr_spark.backends as bk
+
+    class KwargBackend(bk.ExtractorBackend):
+        def __init__(self, **kwargs):
+            self.kwargs = kwargs
+
+        def extract_batch(self, pdf):
+            return pdf
+
+    bk._KwargBackend = KwargBackend  # make it importable by dotted path
+    try:
+        spec = "paraocr_spark.backends._KwargBackend"
+        b1 = bk.get_backend(spec, {"weights": [1, 2], "opts": {"a": 1}})
+        b2 = bk.get_backend(spec, {"opts": {"a": 1}, "weights": [1, 2]})
+        assert b1 is b2  # canonical JSON key: order-insensitive singleton
+        assert b1.kwargs["weights"] == [1, 2]
+    finally:
+        del bk._KwargBackend

@@ -133,3 +133,22 @@ def test_lineage_scoped_to_invocation(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         pio.read_table(spark, out).where(F.col("run_id") == "same").explain()
     assert "run_id" in buf.getvalue() and "PartitionFilters" in buf.getvalue()
+
+
+def test_write_extracted_rejects_mixed_partition_layout(spark, tmp_path):
+    """ADVICE r2: appending a (run_id, warc_bucket) layout onto a table
+    written with warc_bucket-only partitions breaks partition discovery for
+    all subsequent reads — the writer must refuse with a clear error."""
+    import pytest
+
+    from paraocr_spark.sources.pages import pages_df
+    from paraocr_spark.sources import io as pio
+
+    path = str(tmp_path / "extracted_legacy")
+    old = pages_df(spark, 8, 2).select("url", "warc_ts", "lang")
+    pio.write_extracted(old, path, n_buckets=2)  # no run_id column: old layout
+    new = old.withColumn("run_id", F.lit("r1"))
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        pio.write_extracted(new, path, n_buckets=2)
+    # same layout appends stay allowed
+    pio.write_extracted(old, path, n_buckets=2)
