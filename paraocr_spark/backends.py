@@ -49,6 +49,9 @@ _REGISTRY: dict[str, str] = {
     # short name -> dotted path (kept as strings so resolution is lazy and
     # always happens where the batch runs)
     "default": "paraocr_spark.core.routes.RoutedExtractorBackend",
+    # C-accelerated HTML parse; needs the lxml package (import-guarded:
+    # preflight fails with a clear message where the wheel is absent)
+    "lxml": "paraocr_spark.core.routes.LxmlRoutedExtractorBackend",
 }
 
 _INSTANCES: dict[tuple, ExtractorBackend] = {}

@@ -150,13 +150,121 @@ def keep_block(b: Block) -> bool:
     return True
 
 
+# extract_html doesn't need Block objects, the tag field, or a second
+# keep_block pass — _kept_texts fuses tokenize + score + keep into one
+# scanner loop with the flush inlined (the kernel's hot path; tests assert
+# it equals the segment_blocks + keep_block composition exactly).
+_RELEVANT = frozenset(BLOCK_TAGS | {"a"})
+
+# Anchored tag matcher for the scanner: tried at the char AFTER a '<'. Same
+# grammar as _TOK_RE's tag branch (quote-aware attrs that may contain '>'
+# or '<'); on failure the '<' is skipped, exactly like _TOK_RE's behavior.
+_TAG_AT_RE = re.compile(
+    r"(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>'\"]|'[^']*'|\"[^\"]*\")*>"
+)
+
+
+def _kept_texts(markup: str) -> list[str]:
+    """Fused fast path: kept block texts, identical to
+    [b.text for b in segment_blocks(m) if keep_block(b)].
+
+    Index-based scanner: text runs are C-level find('<') + slice (no match
+    object), only tags pay a (small, anchored) regex match.
+    """
+    markup = _DOCTYPE_RE.sub("", markup)
+    markup = _COMMENT_RE.sub("", markup)
+    markup = _SCRIPT_STYLE_RE.sub("", markup)
+
+    kept: list[str] = []
+    kept_append = kept.append
+    buf: list[str] = []
+    buf_append = buf.append
+    anchor_chars = 0
+    total_chars = 0
+    drop_depth = 0
+    anchor_depth = 0
+    unescape = _htmlmod.unescape
+    find = markup.find
+    tag_match = _TAG_AT_RE.match
+    n_markup = len(markup)
+    pos = 0
+
+    while pos < n_markup:
+        lt = find("<", pos)
+        if lt != pos:  # leading text run up to the next tag (or the end)
+            txt = markup[pos:lt] if lt != -1 else markup[pos:]
+            text = unescape(txt) if "&" in txt else txt
+            stripped = text.strip()
+            if stripped:
+                buf_append(text)
+                k = len(stripped)
+                total_chars += k
+                if anchor_depth > 0:
+                    anchor_chars += k
+            elif buf:
+                buf_append(" ")
+            if lt == -1:
+                break
+        m = tag_match(markup, lt + 1)
+        if m is None:  # not a tag: skip the '<' (same as _TOK_RE)
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group(2)
+        if name not in _RELEVANT:  # most tags are already lowercase
+            name = name.lower()
+            if name not in _RELEVANT:
+                continue  # inline tag (span/b/em/...): no flush, no depth
+        if name == "a":
+            if m.group(1):
+                if anchor_depth > 0:
+                    anchor_depth -= 1
+            else:
+                anchor_depth += 1
+            continue
+        # block tag boundary: inlined flush (keep decision fused in)
+        if buf:
+            if drop_depth == 0:  # dropped containers skip the normalize
+                text = " ".join("".join(buf).split())
+                if (
+                    text
+                    and text.count(" ") + 1 >= MIN_BLOCK_WORDS
+                    and not (
+                        total_chars > 0
+                        and anchor_chars / total_chars > MAX_LINK_DENSITY
+                    )
+                ):
+                    kept_append(text)
+            buf.clear()
+            anchor_chars = 0
+            total_chars = 0
+        if name in DROP_CONTAINERS:
+            if m.group(1):
+                if drop_depth > 0:
+                    drop_depth -= 1
+            else:
+                drop_depth += 1
+    if buf and drop_depth == 0:
+        text = " ".join("".join(buf).split())
+        if (
+            text
+            and text.count(" ") + 1 >= MIN_BLOCK_WORDS
+            and not (
+                total_chars > 0
+                and anchor_chars / total_chars > MAX_LINK_DENSITY
+            )
+        ):
+            kept_append(text)
+    return kept
+
+
 def extract_html(markup: str) -> tuple[str, list[tuple[int, int]]]:
     """Main-content extraction: (merged_text, per-kept-block char spans).
 
     Kept blocks joined with "\\n\\n"; span invariant:
     ``merged[start:end] == block.text`` for every span.
     """
-    kept = [b.text for b in segment_blocks(markup) if keep_block(b)]
+    kept = _kept_texts(markup)
     spans: list[tuple[int, int]] = []
     pos = 0
     for i, t in enumerate(kept):

@@ -34,6 +34,11 @@ def assign_obj(target: np.ndarray, mask: np.ndarray, values: list) -> None:
 class RoutedExtractorBackend(ExtractorBackend):
     """fast-path gate -> layout/html dispatch -> in-band errors."""
 
+    @staticmethod
+    def _parse_html(markup: str) -> tuple[str, list[tuple[int, int]]]:
+        """HTML-parser hook: the C-path backend overrides just this."""
+        return htmlx.extract_html(markup)
+
     def extract_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         html_vals = pdf["html"].to_numpy(dtype=object)
@@ -97,7 +102,7 @@ class RoutedExtractorBackend(ExtractorBackend):
                 method[idx], error[idx] = METHOD_ERROR, "invalid_utf8"
                 continue
             try:
-                merged, sp = htmlx.extract_html(markup)
+                merged, sp = self._parse_html(markup)
                 ext[idx], spans[idx], method[idx] = merged, sp, METHOD_HTML
             except Exception as e:  # per-doc isolation (easyocr_backend.py:260-263)
                 ext[idx], spans[idx] = None, []
@@ -107,3 +112,17 @@ class RoutedExtractorBackend(ExtractorBackend):
             {"extracted_text": ext, "spans": spans, "method": method, "error": error},
             index=pdf.index,
         )
+
+
+class LxmlRoutedExtractorBackend(RoutedExtractorBackend):
+    """Same routing, C-accelerated HTML parse (lxml). Instantiation fails
+    with a clear ImportError where lxml is absent — surfaced at driver
+    preflight (backends.preflight_backend), never inside tasks."""
+
+    def __init__(self):
+        from paraocr_spark.core import htmlx_lxml  # raises if lxml missing
+
+        self._extract = htmlx_lxml.extract_html_lxml
+
+    def _parse_html(self, markup: str) -> tuple[str, list[tuple[int, int]]]:
+        return self._extract(markup)

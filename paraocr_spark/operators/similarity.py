@@ -168,14 +168,18 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
     """
     import pandas as pd
 
-    # uniform seeded sample — limit() would take the first rows of the
-    # first partitions, biasing centroids at scale; cap the fraction so the
-    # driver never collects more than ~2x `sample` rows
-    n_total = emb.count()
-    frac = min(1.0, (sample * 2.0) / max(n_total, 1))
+    # uniform sample with NO extra corpus pass: the global bottom-`sample`
+    # rows by a uniform hash of the id ARE a uniform random sample, and
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # driver merge) — one job, no count(), deterministic, independent of
+    # partitioning. (limit() alone would bias to the first partitions;
+    # sample(fraction) needs the row count to size the fraction.)
     rows = (
-        emb.select(vec_col).sample(fraction=frac, seed=20250816)
-        .limit(sample).collect()
+        emb.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col))
+        .orderBy("_h")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
     )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
@@ -258,6 +262,18 @@ def _hyperplanes(dim: int, bits: int, tables: int) -> np.ndarray:
     return np.round(rng.normal(size=(tables, bits, dim)).astype(np.float64), 6)
 
 
+def _bucket_matrix(M: np.ndarray, dim: int, bits: int, tables: int) -> np.ndarray:
+    """(n, L) int64 bucket ids for a float matrix — THE bucket definition,
+    shared by the distributed UDF and driver-side query hashing so both
+    always agree bit-for-bit."""
+    H = _hyperplanes(dim, bits, tables)  # (L, bits, dim)
+    flat = H.reshape(tables * bits, dim).T  # (dim, L*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    signs = (M.astype(np.float64) @ flat) > 0  # (n, L*bits)
+    signs = signs.reshape(len(M), tables, bits)
+    return (signs * weights).sum(axis=2)  # (n, L)
+
+
 def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,
                    tables: int = _TABLES, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
@@ -266,17 +282,11 @@ def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,
     Vectorized: one numpy (batch x dim) @ (dim x bits*L) matmul per Arrow
     batch inside a pandas UDF — no per-row Python.
     """
-    H = _hyperplanes(dim, bits, tables)  # (L, bits, dim)
-    flat = H.reshape(tables * bits, dim).T  # (dim, L*bits)
-    weights = (1 << np.arange(bits)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy())  # (n, dim) float32
-        signs = (M.astype(np.float64) @ flat) > 0  # (n, L*bits)
-        signs = signs.reshape(len(M), tables, bits)
-        vals = (signs * weights).sum(axis=2)  # (n, L)
-        return pd.Series(list(vals))
+        return pd.Series(list(_bucket_matrix(M, dim, bits, tables)))
 
     ex = emb.select(
         F.col(id_col).alias("id"),
@@ -292,14 +302,28 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 20,
     """Approximate top-k: LSH bucket candidates -> exact cosine rerank.
 
     Recall grows with L (tables); the cross product never forms — the
-    candidate join is keyed on (table, bucket).
+    candidate join is keyed on (table, bucket). The query side is tiny, so
+    its buckets are hashed DRIVER-side (same _bucket_matrix) and broadcast:
+    the corpus streams through the signature UDF exactly once, with no
+    persist to leak and no second corpus pass.
     """
-    sigs = lsh_signatures(emb, dim, bits, tables, id_col, vec_col).persist()
-    qs = sigs.where(F.col("id") < n_queries)
+    q_rows = (
+        emb.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q"), F.col(vec_col).alias("vq"))
+        .collect()
+    )
+    Q = np.array([list(r.vq) for r in q_rows], dtype=np.float64)
+    qb = _bucket_matrix(Q, dim, bits, tables) if len(q_rows) else np.empty((0, tables))
+    probe_df = emb.sparkSession.createDataFrame(
+        [(int(r.q), int(t), int(qb[i, t]))
+         for i, r in enumerate(q_rows) for t in range(tables)],
+        schema="q long, table int, bucket long",
+    )
+    sigs = lsh_signatures(emb, dim, bits, tables, id_col, vec_col)
     cands = (
-        qs.alias("q").join(sigs.alias("s"), ["table", "bucket"])
-        .where(F.col("q.id") != F.col("s.id"))
-        .select(F.col("q.id").alias("q"), F.col("s.id").alias("nb"))
+        F.broadcast(probe_df).join(sigs, ["table", "bucket"])
+        .where(F.col("q") != F.col("id"))
+        .select("q", F.col("id").alias("nb"))
         .dropDuplicates(["q", "nb"])
     )
     qv = emb.select(F.col(id_col).alias("q"), F.col(vec_col).alias("vq"))

@@ -116,3 +116,70 @@ def test_extract_document_routing_and_errors():
     r = extract_document(b"<p>html ignored on fast path</p>", fast)
     assert r.method == "native_text" and r.extracted_text == fast
     assert r.spans == [(0, len(fast))]
+
+
+# --------------------------------------------- fused fast path equivalence
+_HTML_ALPHABET = "<>/ab p&;'\"= \n"
+
+
+@given(st.text(alphabet=_HTML_ALPHABET, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_fused_extract_equals_segment_keep_composition(markup):
+    """extract_html's fused scanner must equal the segment_blocks +
+    keep_block reference composition on ARBITRARY input (the scanner skips
+    Block objects and inlines the flush; this pins the refactor)."""
+    kept = [b.text for b in htmlx.segment_blocks(markup) if htmlx.keep_block(b)]
+    assert htmlx._kept_texts(markup) == kept
+
+
+def test_fused_extract_edge_cases():
+    cases = [
+        "", "plain text no tags at all",
+        "<div title='attr with > inside'>quoted gt content here</div>",
+        "<div a<b>weird attr lt content here</div>",
+        "5 < 6 loose angle words here",
+        "trailing lt <",
+        "<<p>double open words here</p>",
+        "</>empty close words here",
+        "<A HREF='x'>UPPER anchor</A><P>UPPER BLOCK words</P>",
+        "<p>text<nav>dropme dropme</nav>after words</p>",
+        "<div class='unclosed>no close quote words</div>",
+    ]
+    for m in cases:
+        kept = [b.text for b in htmlx.segment_blocks(m) if htmlx.keep_block(b)]
+        assert htmlx._kept_texts(m) == kept, repr(m)
+
+
+# ------------------------------------------------- lxml optional fast path
+def _lxml_present() -> bool:
+    try:
+        import lxml  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _lxml_present(), reason="lxml not installed")
+def test_lxml_backend_identity_on_wellformed():
+    """When lxml exists, the C path must equal the regex oracle on
+    well-formed markup (malformed markup is disclosed as parser-dependent)."""
+    from paraocr_spark.core.htmlx_lxml import extract_html_lxml
+    from paraocr_spark.sources.pages import gen_page
+
+    for i in range(400):
+        p = gen_page(i)
+        h = p.get("html")
+        if not isinstance(h, (bytes, bytearray)) or h[:4] == b"%LAY":
+            continue
+        markup = h.decode("utf-8")
+        assert extract_html_lxml(markup) == htmlx.extract_html(markup)
+
+
+@pytest.mark.skipif(_lxml_present(), reason="lxml installed: import succeeds")
+def test_lxml_backend_fails_preflight_with_clear_message():
+    """Without lxml the registry entry must fail at DRIVER preflight with an
+    actionable ImportError, never inside executor tasks."""
+    from paraocr_spark.backends import preflight_backend
+
+    with pytest.raises(ImportError, match="lxml"):
+        preflight_backend("lxml")

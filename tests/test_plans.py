@@ -123,3 +123,35 @@ def test_relational_quality_gate_stays_jvm(spark, docs):
     # only the text column is read (higher-order lambdas keep this JVM-side
     # but outside whole-stage codegen — still no Python worker involved)
     assert "ReadSchema: struct<text:string>" in p
+
+
+def test_ivf_sample_is_single_takeordered_job(spark):
+    """ivf_assign must not pay an extra corpus pass (count) to size its
+    sample: the bottom-k-by-hash sample is ONE TakeOrdered job."""
+    from paraocr_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    spark.sparkContext.setJobGroup("ivf_train", "ivf sampling")
+    try:
+        assigned, C = ivf_assign(emb, n_centroids=4, sample=64)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    jobs = set(tracker.getJobIdsForGroup("ivf_train"))
+    assert len(jobs) == 1, f"ivf_assign training ran {len(jobs)} jobs (want 1)"
+    assert len(C) == 4
+    assert assigned.where(F.col("cell") >= 0).count() == emb.count()
+
+
+def test_no_query_leaves_persistent_rdds(spark):
+    """VERDICT r2: operators must not leak executor storage — after running
+    every similarity/dedup builder + action, the session holds zero
+    persisted RDDs (the driver keeps sessions alive across many queries)."""
+    import __spark_entry__ as entrymod
+
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_topk_lsh",
+                 "ann_topk_ivf", "neardup_embedding"):
+        entrymod.queries()[name](spark, SF_DIR).count()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
