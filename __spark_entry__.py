@@ -240,6 +240,55 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, k=5, n_queries=20)
 
 
+def _q_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: LSH bucket candidates (keyed
+    self-join, never blocks^2) -> exact cosine verify. The oracle reproduces
+    the same buckets from the same embedded hyperplanes, so the gate is a
+    full hash match for the algorithm as shipped."""
+    from paraocr_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return neardup_pairs_lsh(emb, threshold=0.3)
+
+
+def _q_ann_topk_ivf_recall(spark, sf_dir):
+    """recall@5 of partial-probe IVF (n_probe=4 of 16 cells) vs exact brute
+    force — quantifies the approximation the scale path ships (full-probe
+    IVF is exact and never exercises it). Deterministic: id-selected
+    6dp-rounded centroids, 6dp dots, lowest-cell tie-breaks."""
+    from paraocr_spark.operators.similarity import ann_topk_ivf_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf_recall(emb, k=5, n_queries=20, n_centroids=16, n_probe=4)
+
+
+def _q_streaming_extract(spark, sf_dir):
+    """Batch/stream parity: the availableNow foreachBatch pipeline over the
+    same pages must produce the same rows as the batch oracle (same
+    extraction SQL as extract_html_roundtrip). Eager: runs the stream to
+    completion, then returns the written table."""
+    import os
+    import tempfile
+
+    from paraocr_spark.pipeline import PipelineConfig
+    from paraocr_spark.sources.pages import pages_from_documents
+    from paraocr_spark.streaming.extract_stream import extract_stream
+
+    pages = pages_from_documents(_docs(spark, sf_dir), "html")
+    work = tempfile.mkdtemp(prefix="paraocr_stream_entry_")
+    src = os.path.join(work, "pages")
+    pages.write.mode("overwrite").parquet(src)
+    q = extract_stream(
+        spark, src, os.path.join(work, "out"), os.path.join(work, "ckpt"),
+        PipelineConfig(run_id="stream_entry", warc_buckets=8),
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "out")).select(
+        "url", "extracted_text", "method"
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from paraocr_spark.functions.text import lang_id
 
@@ -397,6 +446,9 @@ _RAW_QUERIES = {
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_lsh": _q_ann_topk_lsh,
+    "neardup_lsh": _q_neardup_lsh,
+    "ann_topk_ivf_recall": _q_ann_topk_ivf_recall,
+    "streaming_extract": _q_streaming_extract,
         "lang_id": _q_lang_id,
     "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
@@ -634,6 +686,129 @@ from scored qualify rank <= {k}
 """
 
 
+def _lsh_sig_ctes() -> str:
+    """Shared CTEs (v, sig, ex) reproducing lsh_signatures exactly: the
+    seeded hyperplanes are embedded as SQL constants."""
+    from paraocr_spark.operators.similarity import _BITS, _DIM_DEFAULT, _TABLES, _hyperplanes
+
+    H = _hyperplanes(_DIM_DEFAULT, _BITS, _TABLES)  # (L, bits, dim)
+    bucket_exprs = []
+    for t in range(_TABLES):
+        terms = []
+        for b in range(_BITS):
+            plane = "[" + ",".join(repr(x) for x in H[t, b]) + "]::double[]"
+            terms.append(
+                f"(case when list_dot_product(e, {plane}) > 0 then {1 << b} else 0 end)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + ")::bigint")
+    buckets = ",\n    ".join(bucket_exprs)
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as e from embeddings
+), sig as (
+  select vec_id, [{buckets}] as buckets from v
+), ex as (
+  select vec_id, t.range as tbl, buckets[t.range + 1] as bucket
+  from sig cross join range({_TABLES}) t
+)"""
+
+
+def _neardup_lsh_oracle_sql(threshold: float) -> str:
+    """DuckDB twin of neardup_pairs_lsh: identical bucket candidates from
+    the embedded hyperplanes, identical exact-cosine verify."""
+    return (
+        _lsh_sig_ctes()
+        + f""", cands as (
+  select distinct x.vec_id as a, y.vec_id as b
+  from ex x join ex y on x.tbl = y.tbl and x.bucket = y.bucket and x.vec_id < y.vec_id
+)
+select c.a, c.b, round(list_cosine_similarity(va.e, vb.e), 4) as cosine
+from cands c join v va on va.vec_id = c.a join v vb on vb.vec_id = c.b
+where round(list_cosine_similarity(va.e, vb.e), 4) >= {threshold}
+"""
+    )
+
+
+def _ivf_recall_oracle_sql(k: int = 5, n_queries: int = 20,
+                           n_probe: int = 4) -> str:
+    """DuckDB twin of ann_topk_ivf_recall: the deterministic centroids are
+    computed with the SAME numpy code (select_centroids math) over the gate
+    corpus and embedded as constants, so assignment/probing/rerank reproduce
+    exactly (6dp dots, lowest-cell ties, 4dp cosine rerank)."""
+    import numpy as np
+
+    from paraocr_spark.operators.similarity import _CENTROID_STRIDE
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "select vec_id, embedding from "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        f"where vec_id % {_CENTROID_STRIDE} = 0 and vec_id < {16 * _CENTROID_STRIDE} "
+        "order by vec_id"
+    ).fetchall()
+    con.close()
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = np.round(C, 6)
+    cent_values = ", ".join(
+        f"({cell}, [" + ",".join(repr(x) for x in C[cell]) + "]::double[])"
+        for cell in range(len(C))
+    )
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as e from embeddings
+), cent(cell, c) as (
+  values {cent_values}
+), dots as (
+  select v.vec_id, cent.cell, round(list_dot_product(v.e, cent.c), 6) as d
+  from v cross join cent
+), asg as (
+  select vec_id, cell from (
+    select vec_id, cell,
+           row_number() over (partition by vec_id order by d desc, cell asc) as rn
+    from dots
+  ) where rn = 1
+), probes as (
+  select vec_id as q, cell from (
+    select vec_id, cell,
+           row_number() over (partition by vec_id order by d desc, cell asc) as rn
+    from dots where vec_id < {n_queries}
+  ) where rn <= {n_probe}
+), cands as (
+  select distinct p.q, a.vec_id as nb
+  from probes p join asg a on a.cell = p.cell
+  where a.vec_id != p.q
+), scored as (
+  select c.q, c.nb, round(list_cosine_similarity(qv.e, nv.e), 4) as cosine
+  from cands c join v qv on qv.vec_id = c.q join v nv on nv.vec_id = c.nb
+), ivf as (
+  select q, nb from (
+    select q, nb, row_number() over (partition by q order by cosine desc, nb asc) as rn
+    from scored
+  ) where rn <= {k}
+), brute as (
+  select q, nb from (
+    select qv.vec_id as q, nv.vec_id as nb,
+           row_number() over (partition by qv.vec_id
+             order by round(list_cosine_similarity(qv.e, nv.e), 4) desc,
+                      nv.vec_id asc) as rn
+    from v qv join v nv on nv.vec_id != qv.vec_id
+    where qv.vec_id < {n_queries}
+  ) where rn <= {k}
+), hits as (
+  select i.q, count(*) as n_hits
+  from ivf i join brute b on b.q = i.q and b.nb = i.nb
+  group by i.q
+)
+select qs.q, coalesce(h.n_hits, 0)::bigint as n_hits,
+       round(coalesce(h.n_hits, 0) / {k}.0, 4) as recall
+from (select distinct vec_id as q from v where vec_id < {n_queries}) qs
+left join hits h using (q)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from paraocr_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
 
@@ -744,6 +919,13 @@ def oracle_sql() -> dict[str, str]:
             "qualify rank <= 5"
         ),
         "ann_topk_lsh": _ann_lsh_oracle_sql(k=5, n_queries=20),
+        "neardup_lsh": _neardup_lsh_oracle_sql(threshold=0.3),
+        "ann_topk_ivf_recall": _ivf_recall_oracle_sql(k=5, n_queries=20, n_probe=4),
+        "streaming_extract": (
+            f"select {_URL} as url, "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') as extracted_text, "
+            "'html_extract' as method from documents"
+        ),
         "lang_id": (
             f"select {lang_case} as lang_pred, count(*) as n from documents group by 1"
         ),

@@ -248,6 +248,107 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, n_queries: int = 20,
     )
 
 
+_CENTROID_STRIDE = 31  # deterministic id-selected centroids: vec_id % 31 == 0
+
+
+def select_centroids(emb: DataFrame, n_centroids: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic, SQL-expressible centroid choice: the vectors whose id
+    is a multiple of _CENTROID_STRIDE (first n_centroids of them),
+    L2-normalized in float64 and rounded to 6dp — the rounding collapses
+    engine-level ulp differences so a DuckDB oracle reproduces every dot
+    product bit-for-bit (the ann_topk_lsh embedded-constants pattern)."""
+    rows = (
+        emb.where(
+            (F.col(id_col) % _CENTROID_STRIDE == 0)
+            & (F.col(id_col) < n_centroids * _CENTROID_STRIDE)
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return np.round(C, 6)
+
+
+def ann_topk_ivf_recall(emb: DataFrame, k: int = 5, n_queries: int = 20,
+                        n_centroids: int = 16, n_probe: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """recall@k of PARTIAL-probe IVF vs exact brute force, per query.
+
+    Quantifies the approximation the scale path actually ships (full-probe
+    IVF == exact, so the plain ann_topk_ivf oracle never exercises it).
+    Deterministic end to end: id-selected 6dp centroids, 6dp-rounded
+    assignment/probe dots with lowest-cell tie-breaks — exactly reproducible
+    in the DuckDB twin. Returns (q, n_hits, recall)."""
+    import pandas as pd
+
+    C = select_centroids(emb, n_centroids, id_col, vec_col)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            D = np.round(M @ Cn.T, 6)
+            # argmax with lowest-cell tie-break (np.argmax takes the first max)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = np.argmax(D, axis=1).astype("int32")
+            yield pdf
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    q_rows = emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    qid = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    QD = np.round(Q @ C.T, 6)  # (q, cells)
+    # top-n_probe cells by (dot desc, cell asc): lexsort on (cell, -dot)
+    spark = emb.sparkSession
+    probe_rows = []
+    for i, q in enumerate(qid):
+        order = np.lexsort((np.arange(len(C)), -QD[i]))[:n_probe]
+        probe_rows.extend((int(q), int(c)) for c in order)
+    probe_df = spark.createDataFrame(probe_rows, schema="q long, cell int")
+
+    cands = (
+        F.broadcast(probe_df).join(assigned, "cell")
+        .where(F.col(id_col) != F.col("q"))
+        .select("q", F.col(id_col).alias("nb"), F.col(vec_col).alias("vn"))
+        .dropDuplicates(["q", "nb"])
+    )
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in Q[i]]) for i, q in enumerate(qid)],
+        schema="q long, vq array<float>",
+    )
+    scored = cands.join(F.broadcast(qv), "q").select(
+        "q", "nb", cosine_col(F.col("vq"), F.col("vn")).alias("cosine")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
+    ivf_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "nb")
+    )
+    brute = ann_topk_bruteforce(emb, k, n_queries, id_col, vec_col).select("q", "nb")
+    hits = ivf_topk.join(brute, ["q", "nb"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qdf = spark.createDataFrame([(int(q),) for q in qid], schema="q long")
+    return (
+        F.broadcast(qdf).join(hits, "q", "left")
+        .select(
+            "q",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
 # ----------------------------------------------------------- LSH ANN path
 _DIM_DEFAULT = 64
 _BITS = 12
@@ -337,4 +438,40 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 20,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q", "nb", "cosine", "rank")
+    )
+
+
+def neardup_pairs_lsh(emb: DataFrame, threshold: float,
+                      dim: int = _DIM_DEFAULT, bits: int = _BITS,
+                      tables: int = _TABLES, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """LSH-prefiltered near-dup pairs — the 100 TB path for neardup_pairs.
+
+    The exact blocked-matmul neardup_pairs is O(blocks^2); here candidates
+    come from the keyed (table, bucket) self-join of the hyperplane
+    signatures — no quadratic join ever forms — and every candidate is
+    exact-4dp-cosine verified, so precision is exact. Recall is the LSH
+    bucket-collision probability (grows with ``tables``); the DuckDB twin
+    reproduces the same buckets from the same embedded hyperplanes, so the
+    correctness gate is exact for the algorithm as shipped.
+
+    Signatures route through ONE explicit Exchange on the join key: AQE
+    shuffle-stage reuse evaluates the signature UDF once per action (the
+    dedup.py shuffle-as-cache pattern; no persist to leak).
+    """
+    sigs = lsh_signatures(emb, dim, bits, tables, id_col, vec_col).repartition(
+        "table", "bucket"
+    )
+    cands = (
+        sigs.alias("x").join(sigs.alias("y"), ["table", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "a").join(vb, "b")
+        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

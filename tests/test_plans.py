@@ -155,3 +155,16 @@ def test_no_query_leaves_persistent_rdds(spark):
         entrymod.queries()[name](spark, SF_DIR).count()
     jsc = spark.sparkContext._jsc
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_neardup_lsh_has_no_quadratic_join(spark):
+    """The LSH near-dup path must never form the blocks^2 join: all joins
+    keyed (sort-merge/hash on (table,bucket) or ids), no nested-loop or
+    cartesian nodes anywhere in the plan."""
+    from paraocr_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(neardup_pairs_lsh(emb, threshold=0.3))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    # and it actually runs
+    assert neardup_pairs_lsh(emb, threshold=0.3).count() >= 0
