@@ -53,17 +53,35 @@ def decode_image_meta(payload: bytes | None) -> dict:
             "n_frames": nf, "bytes": len(payload), "valid": True}
 
 
-def decode_frame(payload: bytes, frame: int = 0) -> np.ndarray:
-    """Decode one frame to an HxWxC uint8 array (synthetic format only).
+def _decode_frame_pillow(payload: bytes, frame: int = 0) -> np.ndarray:
+    """Real-codec path, import-guarded like the lxml backend: activates
+    when Pillow is installed (real deployments), raises ImportError here."""
+    import io
 
-    A real deployment swaps this for Pillow/opencv/ffmpeg — the UDF batch
-    shape around it does not change.
+    from PIL import Image  # noqa: F401 - guarded; absent in this sandbox
+
+    im = Image.open(io.BytesIO(payload))
+    if frame:
+        im.seek(frame)
+    return np.asarray(im.convert("RGB"))
+
+
+def decode_frame(payload: bytes, frame: int = 0) -> np.ndarray:
+    """Decode one frame to an HxWxC uint8 array.
+
+    Synthetic-format payloads decode natively; anything else goes to the
+    Pillow path when the library exists, else raises NotImplementedError —
+    the UDF batch shape around it never changes.
     """
     meta = decode_image_meta(payload)
     if not meta["valid"]:
-        raise NotImplementedError(
-            "non-synthetic media codec not available in this environment"
-        )
+        try:
+            return _decode_frame_pillow(bytes(payload), frame)
+        except ImportError:
+            raise NotImplementedError(
+                "non-synthetic media codec not available in this environment "
+                "(install Pillow for real image decode)"
+            ) from None
     w, h, c = meta["width"], meta["height"], meta["channels"]
     off = 11 + frame * w * h * c
     buf = payload[off : off + w * h * c]

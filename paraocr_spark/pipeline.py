@@ -133,10 +133,15 @@ def extract_with_shard_cache(
             .select("url", "shard_id")
         )
         shards_todo = shards.join(done_keys, ["url", "shard_id"], "left_anti")
-    fresh = extract_kernel(
-        shards_todo, cfg.backend, cfg.backend_kwargs
-    ).withColumn("config_fp", F.lit(cfg.fingerprint))
-    fresh.write.mode("append").parquet(cfg.shard_cache_path)
+    # skip the append entirely on a fully-cached resume: the emptiness probe
+    # runs only the (kernel-free) salt + anti-join plan, while an
+    # unconditional append would run a write job per resume and accumulate
+    # zero-row files the compactor never covers
+    if cache is None or not shards_todo.isEmpty():
+        fresh = extract_kernel(
+            shards_todo, cfg.backend, cfg.backend_kwargs
+        ).withColumn("config_fp", F.lit(cfg.fingerprint))
+        fresh.write.mode("append").parquet(cfg.shard_cache_path)
 
     relevant = (
         spark.read.parquet(cfg.shard_cache_path)
@@ -151,6 +156,45 @@ def extract_with_shard_cache(
         "shard_id", "n_shards"
     )
     return singles.unionByName(_merge_shards_relational(relevant))
+
+
+def gc_shard_cache(spark: SparkSession, cache_path: str, keep_fp: str,
+                   target_file_mb: int = 256) -> dict:
+    """Shard-cache maintenance: drop stale config_fp generations (rows whose
+    fingerprint no longer matches any live config) and compact the small
+    files that incremental appends accumulate. Staging-dir + rename swap,
+    same object-store caveat as sources/io.compact_table."""
+    import math
+    import os
+    import pathlib
+    import shutil
+
+    try:
+        df = spark.read.parquet(cache_path)
+    except Exception:
+        return {"files_before": 0, "files_after": 0, "rows_kept": 0}
+    files_before = len(list(pathlib.Path(cache_path).rglob("*.parquet")))
+    keep = (
+        df.where(F.col("config_fp") == keep_fp)
+        .dropDuplicates(["url", "shard_id"])
+    )
+    total = sum(
+        f.stat().st_size for f in pathlib.Path(cache_path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    staging = cache_path.rstrip("/") + "__gc"
+    keep.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = cache_path.rstrip("/") + "__old"
+    os.rename(cache_path, backup)
+    os.rename(staging, cache_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    kept = spark.read.parquet(cache_path)
+    files_after = len(list(pathlib.Path(cache_path).rglob("*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_kept": kept.count(),
+    }
 
 
 def run_extraction(

@@ -45,3 +45,36 @@ def test_decode_frame_shapes():
         mm.decode_frame(b"JUNK")
     with pytest.raises(ValueError):
         mm.decode_frame(mm.encode_image(6, 3, 3)[:-5])
+
+
+def _pillow_present() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pillow_present(), reason="Pillow installed: real path")
+def test_non_synthetic_decode_raises_without_pillow():
+    """Import-guarded codec: without Pillow, non-synthetic payloads raise a
+    clear NotImplementedError (in-band as 'error' in the batch UDF)."""
+    from paraocr_spark.multimodal import decode_frame
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_frame(b"\x89PNG\r\n\x1a\n not-a-real-png")
+
+
+@pytest.mark.skipif(not _pillow_present(), reason="Pillow not installed")
+def test_non_synthetic_decode_with_pillow():
+    """With Pillow present the same call decodes a real PNG to HxWxC."""
+    import io
+
+    from PIL import Image
+
+    from paraocr_spark.multimodal import decode_frame
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    arr = decode_frame(buf.getvalue())
+    assert arr.shape == (3, 4, 3)

@@ -82,3 +82,40 @@ def test_shard_cache_invalidated_by_config_change(spark, paths):
     cache = spark.read.parquet(paths["cache"])
     assert cache.count() == 2 * n_a  # re-extracted under the new fp
     assert cache.select("config_fp").distinct().count() == 2
+
+
+def test_fully_cached_resume_writes_nothing_and_gc_bounds_files(spark, paths):
+    """VERDICT r2 #5: a fully-cached resume must not run an append job (no
+    new cache files), and gc_shard_cache drops stale config_fp generations
+    + compacts, so K resumes/config-bumps leave a bounded file count."""
+    import pathlib
+
+    from paraocr_spark.pipeline import gc_shard_cache
+
+    def cache_files():
+        return sorted(
+            str(p) for p in pathlib.Path(paths["cache"]).rglob("*.parquet")
+        )
+
+    pages = pages_df(spark, N, 4)
+    cfg = PipelineConfig(run_id="sc", shard_cache_path=paths["cache"])
+    run_and_write(spark, pages, paths["out1"], paths["lin"], cfg)
+    files1 = cache_files()
+    assert files1, "first run must populate the cache"
+
+    # resume with identical config: everything cached -> append skipped
+    done = spark.read.parquet(paths["out1"])
+    run_and_write(spark, pages, paths["out1"], paths["lin"], cfg, done=done)
+    assert cache_files() == files1, "fully-cached resume appended files"
+
+    # a config bump writes a second generation; GC keeps only the live one
+    cfg2 = PipelineConfig(run_id="sc2", shard_cache_path=paths["cache"],
+                          extra={"v": 2})
+    run_and_write(spark, pages, paths["out2"], paths["lin"], cfg2)
+    both = spark.read.parquet(paths["cache"])
+    assert both.select("config_fp").distinct().count() == 2
+    stats = gc_shard_cache(spark, paths["cache"], cfg2.fingerprint)
+    assert stats["files_after"] <= stats["files_before"]
+    live = spark.read.parquet(paths["cache"])
+    assert live.select("config_fp").distinct().count() == 1
+    assert live.where(F.col("config_fp") == cfg2.fingerprint).count() == stats["rows_kept"]
