@@ -13,48 +13,6 @@ from paraocr_spark.operators.extract import extract_pages
 from paraocr_spark.pipeline import PipelineConfig, ignore_keyword_filter, run_extraction
 from paraocr_spark.sources.pages import pages_df
 
-_CUSTOM_BACKEND_SRC = '''
-"""A third-party extraction strategy: first 10 chars of whatever is there."""
-import pandas as pd
-from paraocr_spark.backends import ExtractorBackend
-
-
-class HeadBackend(ExtractorBackend):
-    def __init__(self, head: int = 10):
-        self.head = head
-
-    def extract_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        ext, spans, method, error = [], [], [], []
-        for h, t in zip(pdf["html"], pdf["text"]):
-            src = t if t is not None else (
-                bytes(h).decode("utf-8", "replace") if h is not None else None
-            )
-            if src is None:
-                ext.append(None); spans.append([]); method.append("error")
-                error.append("no_content")
-            else:
-                s = src[: self.head]
-                ext.append(s); spans.append([(0, len(s))])
-                method.append("head"); error.append(None)
-        return pd.DataFrame(
-            {"extracted_text": ext, "spans": spans, "method": method,
-             "error": error}, index=pdf.index,
-        )
-'''
-
-
-@pytest.fixture(scope="module")
-def custom_backend(spark, tmp_path_factory):
-    mod = tmp_path_factory.mktemp("plugin") / "head_backend_plugin.py"
-    mod.write_text(textwrap.dedent(_CUSTOM_BACKEND_SRC))
-    # the spark-submit --py-files flow: ship the plugin, import by dotted path
-    spark.sparkContext.addPyFile(str(mod))
-    import sys
-
-    sys.path.insert(0, str(mod.parent))
-    return "head_backend_plugin.HeadBackend"
-
-
 def test_custom_backend_end_to_end(spark, custom_backend):
     pages = pages_df(spark, 60, 4)
     rows = extract_pages(

@@ -127,3 +127,27 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 70
     assert final.where(F.col("run_id") == "s-b0").count() == 40
+
+
+def test_stream_batches_use_configured_backend(spark, tmp_path, custom_backend):
+    """ADVICE r2 (medium): micro-batches must be produced by cfg.backend and
+    pass cfg's ignore-keyword filter — config_fp stamps what actually ran,
+    or resume would treat default-backend rows as done under the custom
+    config."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    pages_df(spark, 40, 2).write.parquet(src)
+    cfg = PipelineConfig(run_id="sb", backend=custom_backend,
+                         backend_kwargs={"head": 7},
+                         ignore_url_keywords=["site1.example"])
+    q = extract_stream(spark, src, out, ckpt, cfg, available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    rows = got.select("url", "method", "extracted_text", "config_fp").collect()
+    assert rows
+    assert all("site1.example" not in r.url for r in rows)  # filter applied
+    # custom backend ran (giant shards keep the reassembly's layout label)
+    methods = {r.method for r in rows}
+    assert "head" in methods and methods <= {"head", "error", "layout_extract"}
+    assert all(r.config_fp == cfg.fingerprint for r in rows)
+    assert all(len(r.extracted_text) <= 7 for r in rows
+               if r.method == "head" and r.extracted_text is not None)
