@@ -289,6 +289,37 @@ def _q_streaming_extract(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination sweep (C4/GPT-3 style): held-out docs
+    (doc_id % 97 == 0) sharing a word-4-gram with any training doc.
+    Hash-keyed join with string verify — never joins on raw n-grams."""
+    from paraocr_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,  # real sweeps use 8-13; the synthetic docs are short word soups
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsample (md5-bucket thresholds: en 30%,
+    zh 20%, others 10%) — reproducible across engines/runs/partitionings."""
+    from paraocr_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), quotas={"en": 300, "zh": 200}, default_quota=100
+    )
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by tf * ln(N/df)."""
+    from paraocr_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_lang_id(spark, sf_dir):
     from paraocr_spark.functions.text import lang_id
 
@@ -449,6 +480,9 @@ _RAW_QUERIES = {
     "neardup_lsh": _q_neardup_lsh,
     "ann_topk_ivf_recall": _q_ann_topk_ivf_recall,
     "streaming_extract": _q_streaming_extract,
+    "decontaminate": _q_decontaminate,
+    "stratified_sample": _q_stratified_sample,
+    "tfidf_top_terms": _q_tfidf_top_terms,
         "lang_id": _q_lang_id,
     "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
@@ -809,6 +843,28 @@ left join hits h using (q)
 """
 
 
+def _decontaminate_oracle_sql(n: int) -> str:
+    """DuckDB twin of decontaminate over the %97 train/test split."""
+    terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as ws from documents
+), grams as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws) - {n - 2}),
+                i -> {terms}))) as g
+  from toks where len(ws) >= {n}
+)
+select te.doc_id as test_id,
+       count(distinct te.g) as n_hits,
+       count(distinct tr.doc_id) as n_train_docs
+from (select * from grams where doc_id % 97 = 0) te
+join (select * from grams where doc_id % 97 <> 0) tr
+  on te.g = tr.g and te.doc_id <> tr.doc_id
+group by te.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from paraocr_spark.functions.text import LANG_MARKERS, STOPWORDS_EN
 
@@ -926,6 +982,30 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(trim(text), '\\s+', ' ', 'g') as extracted_text, "
             "'html_extract' as method from documents"
         ),
+        "decontaminate": _decontaminate_oracle_sql(n=4),
+        "stratified_sample": (
+            "select doc_id, lang from documents "
+            "where ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 1000 < "
+            "case when lang = 'en' then 300 when lang = 'zh' then 200 else 100 end"
+        ),
+        "tfidf_top_terms": """
+with toks as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as term
+  from documents
+), tf as (
+  select doc_id, term, count(*) as tf from toks group by 1, 2
+), df as (
+  select term, count(distinct doc_id) as df from toks group by 1
+), n as (
+  select count(distinct doc_id) as n from documents
+)
+select tf.doc_id as id, tf.term,
+       round(tf.tf * ln(n.n / df.df), 6) as tfidf,
+       row_number() over (partition by tf.doc_id
+         order by round(tf.tf * ln(n.n / df.df), 6) desc, tf.term asc) as rank
+from tf join df using (term) cross join n
+qualify rank <= 3
+""",
         "lang_id": (
             f"select {lang_case} as lang_pred, count(*) as n from documents group by 1"
         ),

@@ -1,0 +1,135 @@
+"""Corpus-management operators a training-data pipeline runs at 100 TB.
+
+All pure pyspark.sql built-ins (no Python UDFs) so Catalyst sees every plan:
+
+  * ``decontaminate`` — train/test n-gram overlap (the C4/GPT-3-style
+    benchmark-decontamination sweep): which held-out documents share a long
+    word n-gram with any training document. Candidates join on 8-byte
+    xxhash64 keys (collision-tolerant: string equality is re-checked in the
+    join), so the shuffle never carries the n-gram strings of the big side
+    twice.
+  * ``stratified_sample`` — deterministic per-language subsampling by a
+    portable 60-bit md5 hash of the id (reproducible across engines and
+    runs: no RNG state, no partitioning dependence — the same property the
+    oracle exploits, see memory: md5-60 trick).
+  * ``tfidf_top_terms`` — per-document top-k characteristic terms by
+    tf * ln(N/df); df and N computed in the same plan (one explode + two
+    aggregations), ties broken (score desc, term asc) so results are
+    deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TOKS = r"[a-z0-9]+"
+
+
+def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram): distinct word n-grams per doc (lowercased [a-z0-9]+
+    words). split() materialized before the gram lambda — see
+    dedup.with_shingles for the Catalyst CSE trap this avoids."""
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKS), F.lit(0)).alias("_ws"),
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("_ws") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_ws"), i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        d.where(F.size("_ws") >= n)
+        .select("id", F.explode(F.array_distinct(gram)).alias("gram"))
+    )
+
+
+def decontaminate(train: DataFrame, test: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(test_id, n_hits, n_train_docs): test documents sharing >= 1 word
+    n-gram with any training document (self-pairs excluded, so a benchmark
+    row that also exists verbatim in train still reports its copies).
+
+    Scale shape: both sides explode to (hash, id); the equi-join is keyed on
+    the 8-byte hash with string equality verified in the same join (a
+    collision only costs a discarded row, never a wrong answer). n_hits =
+    distinct shared grams, n_train_docs = distinct contaminating train docs.
+    """
+    tr = _word_ngrams(train, n, id_col, text_col).select(
+        F.col("id").alias("train_id"), F.col("gram").alias("g_tr"),
+        F.xxhash64("gram").alias("h"),
+    )
+    te = _word_ngrams(test, n, id_col, text_col).select(
+        F.col("id").alias("test_id"), F.col("gram").alias("g_te"),
+        F.xxhash64("gram").alias("h"),
+    )
+    hits = (
+        te.join(tr, ["h"])
+        .where((F.col("g_te") == F.col("g_tr")) & (F.col("test_id") != F.col("train_id")))
+    )
+    return hits.groupBy("test_id").agg(
+        F.countDistinct("g_te").alias("n_hits"),
+        F.countDistinct("train_id").alias("n_train_docs"),
+    )
+
+
+def _md5_bucket(col, denom: int = 1000):
+    """Portable deterministic bucket in [0, denom): 60-bit md5 prefix of the
+    stringified id — identical in Spark and DuckDB (see oracle notes), so
+    sampling decisions are reproducible across engines, runs, partitionings."""
+    h60 = F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h60, F.lit(denom))
+
+
+def stratified_sample(docs: DataFrame, quotas: dict, default_quota: int = 100,
+                      denom: int = 1000, id_col: str = "doc_id",
+                      strat_col: str = "lang") -> DataFrame:
+    """Deterministic stratified subsample: keep a doc iff its md5 bucket
+    falls under its stratum's quota (quota/denom = sampling rate). No RNG,
+    no extra pass, trivially re-runnable: the same doc is always in or out.
+    """
+    quota = F.lit(default_quota)
+    for k, v in sorted(quotas.items()):
+        quota = F.when(F.col(strat_col) == k, F.lit(v)).otherwise(quota)
+    return docs.select(F.col(id_col), F.col(strat_col)).where(
+        _md5_bucket(F.col(id_col), denom) < quota
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, term, tfidf, rank): per-document top-k terms by tf * ln(N/df).
+
+    One token explode feeds tf (groupBy id,term), df (groupBy term), and N
+    (count of docs) — three aggregations over one shuffle family; the doc
+    count joins back as a broadcast scalar. Deterministic ties
+    (score desc, term asc); tfidf rounded 6dp for cross-engine stability.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKS), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )
