@@ -27,7 +27,6 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from paraocr_spark.functions.text import fingerprint
 
