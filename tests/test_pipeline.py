@@ -152,3 +152,24 @@ def test_write_extracted_rejects_mixed_partition_layout(spark, tmp_path):
         pio.write_extracted(new, path, n_buckets=2)
     # same layout appends stay allowed
     pio.write_extracted(old, path, n_buckets=2)
+
+
+def test_jsonl_source_roundtrip_and_extraction(spark, tmp_path):
+    """S1 alternate format: JSONL (base64 html) -> pages schema -> the same
+    extraction results as the parquet source, byte-identical."""
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 60, 2)
+    path = str(tmp_path / "pages_jsonl")
+    pio.write_pages_jsonl(pages, path)
+    back = pio.read_pages_jsonl(spark, path)
+    assert back.schema.simpleString() == pages.schema.simpleString()
+
+    def result_map(df):
+        return {
+            r.url: (r.extracted_text, r.method, r.error)
+            for r in df.select("url", "extracted_text", "method", "error").collect()
+        }
+
+    assert result_map(extract_pages(back)) == result_map(extract_pages(pages))
