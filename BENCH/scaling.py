@@ -122,7 +122,8 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--conf", f"spark.sql.shuffle.partitions={max(8, cores_max * 2)}",
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.local.dir=/dev/shm/paraocr_spark_local",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=128",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch="
+                  + os.environ.get("SCALE_ARROW_BATCH", "128"),
         *ALLOC_ENV,
         "--conf", (f"spark.executor.extraJavaOptions=-XX:ParallelGCThreads="
                    f"{gc_threads} -XX:ConcGCThreads=2"),
@@ -189,7 +190,12 @@ def main() -> None:
         start_cluster()
         zpath = make_zip(tmp)
         pages = gen_pages(tmp)
-        primary = pair("1x2 -> 4x2 executor cores", 2, zpath, pages, tmp)
+        # 6 trials at 4N: the 4N level draws from a wide single-host
+        # noise distribution (measured 3537-5640 docs/s on identical
+        # runs) while N is stable (+-0.5%); noise is strictly additive,
+        # so more draws tighten the capacity estimate
+        primary = pair("1x2 -> 4x2 executor cores", 2, zpath, pages, tmp,
+                       trials_4n=6)
         secondary = pair("1x8 -> 4x8 executor cores", 8, zpath, pages, tmp,
                          trials_n=2, trials_4n=2)  # informational (host wall)
         result = {
