@@ -268,6 +268,7 @@ def _q_streaming_extract(spark, sf_dir):
     extraction SQL as extract_html_roundtrip). Eager: runs the stream to
     completion, then returns the written table."""
     import os
+    import shutil
     import tempfile
 
     from paraocr_spark.pipeline import PipelineConfig
@@ -275,7 +276,17 @@ def _q_streaming_extract(spark, sf_dir):
     from paraocr_spark.streaming.extract_stream import extract_stream
 
     pages = pages_from_documents(_docs(spark, sf_dir), "html")
-    work = tempfile.mkdtemp(prefix="paraocr_stream_entry_")
+    # deterministic workdir, wiped on entry: the returned DataFrame reads
+    # the written table lazily, so it can't be deleted before the caller
+    # collects — instead each invocation reuses (and first clears) one
+    # fixed dir per SF, bounding residue to a single run's output instead
+    # of leaking a mkdtemp per gate/bench execution
+    work = os.path.join(
+        tempfile.gettempdir(), "paraocr_stream_entry",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
     src = os.path.join(work, "pages")
     pages.write.mode("overwrite").parquet(src)
     q = extract_stream(
@@ -635,6 +646,16 @@ def _lang_ngram_oracle_sql() -> str:
     return f"select doc_id, case {cases} else 'und' end as lang_pred from documents"
 
 
+def _oracle_sf_dir() -> str:
+    """SF dir the generated oracle SQL embeds data-derived constants from
+    (IVF centroids, BPE corpus vocab). The driver's gate runs at sf0.01 —
+    the default — but tools/check_oracles.py threads its SF_DIR argv
+    through this env var so oracles stay exact at any SF."""
+    import os
+
+    return os.environ.get("PARAOCR_SF_DIR", "/root/testdata/sf0.01").rstrip("/")
+
+
 def _bpe_oracle_sql() -> str:
     """DuckDB twin of the real-BPE token count: each word's token count is
     precomputed by the SAME encode_word over the SAME bundled merges fixture
@@ -657,12 +678,18 @@ def _bpe_oracle_sql() -> str:
         import duckdb
 
         con = duckdb.connect()
-        for sf in ("0.001", "0.01"):
-            rows = con.sql(
-                "select distinct unnest(regexp_extract_all(lower(text), "
-                f"'[a-z0-9]+')) from read_parquet('/root/testdata/sf{sf}/documents.parquet')"
-            ).fetchall()
-            vocab.update(r[0] for r in rows)
+        # cover the gate SF (env-threaded, see _oracle_sf_dir) plus the two
+        # local test SFs, so the map is exact wherever the oracle runs
+        dirs = {_oracle_sf_dir(), "/root/testdata/sf0.001", "/root/testdata/sf0.01"}
+        for d in sorted(dirs):
+            try:
+                rows = con.sql(
+                    "select distinct unnest(regexp_extract_all(lower(text), "
+                    f"'[a-z0-9]+')) from read_parquet('{d}/documents.parquet')"
+                ).fetchall()
+                vocab.update(r[0] for r in rows)
+            except Exception:
+                pass  # that SF's testdata absent: others still cover
         con.close()
     except Exception:
         pass  # no local testdata: fixture vocab only
@@ -778,7 +805,7 @@ def _ivf_recall_oracle_sql(k: int = 5, n_queries: int = 20,
     con = duckdb.connect()
     rows = con.sql(
         "select vec_id, embedding from "
-        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        f"read_parquet('{_oracle_sf_dir()}/embeddings.parquet') "
         f"where vec_id % {_CENTROID_STRIDE} = 0 and vec_id < {16 * _CENTROID_STRIDE} "
         "order by vec_id"
     ).fetchall()

@@ -71,8 +71,13 @@ def decode_frame(payload: bytes, frame: int = 0) -> np.ndarray:
 
     Synthetic-format payloads decode natively; anything else goes to the
     Pillow path when the library exists, else raises NotImplementedError —
-    the UDF batch shape around it never changes.
+    the UDF batch shape around it never changes. Every failure mode raises
+    ValueError / NotImplementedError ONLY: the batch UDFs catch exactly
+    those to keep errors in-band (per-doc isolation) — a corrupt payload
+    must never fail a whole Spark task.
     """
+    if not payload:
+        raise ValueError("empty payload")
     meta = decode_image_meta(payload)
     if not meta["valid"]:
         try:
@@ -82,6 +87,11 @@ def decode_frame(payload: bytes, frame: int = 0) -> np.ndarray:
                 "non-synthetic media codec not available in this environment "
                 "(install Pillow for real image decode)"
             ) from None
+        except (OSError, EOFError) as e:
+            # PIL.UnidentifiedImageError subclasses OSError; EOFError is
+            # seek-past-last-frame. Normalized so callers' in-band except
+            # clause stays (NotImplementedError, ValueError).
+            raise ValueError(f"media decode failed: {e!r}") from None
     w, h, c = meta["width"], meta["height"], meta["channels"]
     off = 11 + frame * w * h * c
     buf = payload[off : off + w * h * c]
@@ -128,7 +138,7 @@ def mean_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFram
             means, errs = [], []
             for p in b[payload_col]:
                 try:
-                    arr = decode_frame(bytes(p))
+                    arr = decode_frame(None if p is None else bytes(p))
                     means.append(float(arr.mean()))
                     errs.append(None)
                 except (NotImplementedError, ValueError) as e:

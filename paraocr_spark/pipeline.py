@@ -119,6 +119,15 @@ def extract_with_shard_cache(
     )
     from paraocr_spark.operators.skew import salt_pages
 
+    import os
+
+    # recover a gc_shard_cache swap that crashed between its two renames:
+    # the __old backup IS the pre-GC cache — restore it rather than
+    # silently re-extracting every giant shard
+    _backup = cfg.shard_cache_path.rstrip("/") + "__old"
+    if os.path.isdir(_backup) and not os.path.isdir(cfg.shard_cache_path):
+        os.rename(_backup, cfg.shard_cache_path)
+
     normal, giant_pages = split_normal_giants(todo)
     shards = salt_pages(giant_pages)
     cache: DataFrame | None = None
@@ -163,11 +172,27 @@ def gc_shard_cache(spark: SparkSession, cache_path: str, keep_fp: str,
     """Shard-cache maintenance: drop stale config_fp generations (rows whose
     fingerprint no longer matches any live config) and compact the small
     files that incremental appends accumulate. Staging-dir + rename swap,
-    same object-store caveat as sources/io.compact_table."""
+    same object-store caveat as sources/io.compact_table.
+
+    Crash safety: a prior run may have died between the two renames (cache
+    gone, data stranded at ``__old``) or left a stale ``__gc``/``__old``
+    dir. Both are reconciled up front: a leftover backup with no live cache
+    is renamed back (nothing is ever lost — the backup IS the pre-GC
+    cache), and stale staging/backup dirs are removed so this run's
+    renames cannot collide with them. MUST NOT run concurrently with
+    extract_with_shard_cache — the swap is not snapshot-isolated (use the
+    Iceberg branch for that)."""
     import math
     import os
     import pathlib
     import shutil
+
+    staging = cache_path.rstrip("/") + "__gc"
+    backup = cache_path.rstrip("/") + "__old"
+    if os.path.isdir(backup) and not os.path.isdir(cache_path):
+        os.rename(backup, cache_path)  # crashed mid-swap: restore backup
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
 
     try:
         df = spark.read.parquet(cache_path)
@@ -182,9 +207,7 @@ def gc_shard_cache(spark: SparkSession, cache_path: str, keep_fp: str,
         f.stat().st_size for f in pathlib.Path(cache_path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    staging = cache_path.rstrip("/") + "__gc"
     keep.repartition(n_files).write.mode("overwrite").parquet(staging)
-    backup = cache_path.rstrip("/") + "__old"
     os.rename(cache_path, backup)
     os.rename(staging, cache_path)
     shutil.rmtree(backup, ignore_errors=True)

@@ -155,7 +155,11 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """
     return (
         spark.read.schema(PAGES_JSONL_SCHEMA_DDL)
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+        # microsecond fraction FIRST (what write_pages_jsonl emits — Spark's
+        # default writer format truncates to ms, silently losing sub-ms
+        # digits on the roundtrip); each optional section is atomic, so
+        # ms-only external dumps still parse via the [.SSS] fallback
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][XXX]")
         .json(path)
         .select(
             "url", "warc_ts",
@@ -166,14 +170,20 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_pages_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Inverse of read_pages_jsonl (tests + interchange exports)."""
+    """Inverse of read_pages_jsonl (tests + interchange exports).
+
+    Explicit microsecond timestampFormat: Spark's default writes ms
+    precision, so micro-precision warc_ts values would silently lose their
+    sub-ms digits on the JSONL roundtrip."""
     (
         df.select(
             "url", "warc_ts",
             F.base64("html").alias("html_b64"),
             "text", "lang",
         )
-        .write.mode(mode).json(path)
+        .write.mode(mode)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
     )
 
 

@@ -78,3 +78,37 @@ def test_non_synthetic_decode_with_pillow():
     Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
     arr = decode_frame(buf.getvalue())
     assert arr.shape == (3, 4, 3)
+
+
+def test_empty_and_none_payloads_stay_in_band(spark):
+    """ADVICE r3: decode_frame(None/empty) must raise ValueError (not
+    TypeError), and a null payload row must surface as an in-band error row
+    from the batch UDF — never fail the Spark task."""
+    with pytest.raises(ValueError, match="empty payload"):
+        mm.decode_frame(None)
+    with pytest.raises(ValueError, match="empty payload"):
+        mm.decode_frame(b"")
+    df = spark.createDataFrame(
+        [(0, mm.encode_image(4, 4, 3)), (1, None), (2, b"")],
+        schema="media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in mm.mean_pixel_features(df).collect()}
+    assert got[0].error is None and got[0].mean_pixel == 127.0
+    assert got[1].mean_pixel is None and "empty payload" in got[1].error
+    assert got[2].mean_pixel is None and "empty payload" in got[2].error
+
+
+@pytest.mark.skipif(not _pillow_present(), reason="Pillow not installed")
+def test_pillow_decode_failures_stay_in_band():
+    """With Pillow present, corrupt payloads and seeks past the last frame
+    must normalize to ValueError so batch UDFs keep errors in-band."""
+    import io
+
+    from PIL import Image
+
+    with pytest.raises(ValueError, match="media decode failed"):
+        mm.decode_frame(b"\x89PNG\r\n\x1a\n corrupt-after-magic")
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    with pytest.raises(ValueError, match="media decode failed"):
+        mm.decode_frame(buf.getvalue(), frame=5)  # seek past end -> EOFError

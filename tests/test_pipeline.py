@@ -173,3 +173,32 @@ def test_jsonl_source_roundtrip_and_extraction(spark, tmp_path):
         }
 
     assert result_map(extract_pages(back)) == result_map(extract_pages(pages))
+
+
+def test_jsonl_roundtrip_preserves_microseconds(spark, tmp_path):
+    """ADVICE r3: Spark's default JSON timestampFormat truncates to ms —
+    the explicit microsecond format on writer AND reader must roundtrip
+    sub-ms warc_ts exactly (and still parse ms-only external dumps)."""
+    import datetime as dt
+    import json
+
+    ts = dt.datetime(2025, 3, 1, 12, 30, 45, 123456)
+    pages = spark.createDataFrame(
+        [("u1", ts, b"<p>hello world</p>", None, "en")],
+        schema=pages_df(spark, 1, 1).schema,
+    )
+    path = str(tmp_path / "micro_jsonl")
+    pio.write_pages_jsonl(pages, path)
+    back = pio.read_pages_jsonl(spark, path).collect()[0]
+    assert back.warc_ts.microsecond == 123456
+    assert back.warc_ts.replace(tzinfo=None) == ts
+
+    # ms-only dumps (the old writer format / external interchange) parse too
+    ext = tmp_path / "ms_jsonl"
+    ext.mkdir()
+    (ext / "part.json").write_text(json.dumps({
+        "url": "u2", "warc_ts": "2025-03-01T12:30:45.123",
+        "html_b64": "", "text": "t", "lang": "en",
+    }) + "\n")
+    row = pio.read_pages_jsonl(spark, str(ext)).collect()[0]
+    assert row.warc_ts.replace(tzinfo=None) == dt.datetime(2025, 3, 1, 12, 30, 45, 123000)

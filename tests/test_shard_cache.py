@@ -119,3 +119,45 @@ def test_fully_cached_resume_writes_nothing_and_gc_bounds_files(spark, paths):
     live = spark.read.parquet(paths["cache"])
     assert live.select("config_fp").distinct().count() == 1
     assert live.where(F.col("config_fp") == cfg2.fingerprint).count() == stats["rows_kept"]
+
+
+def test_gc_crash_recovery_and_stale_dirs(spark, paths):
+    """ADVICE r3: a gc_shard_cache that crashed between its two renames
+    (cache gone, data stranded at __old) must be recovered — by the next gc
+    AND by the next extraction — and stale __gc/__old dirs must not make a
+    later gc fail or rename onto them."""
+    import os
+    import shutil
+
+    from paraocr_spark.pipeline import gc_shard_cache
+
+    pages = pages_df(spark, N, 4)
+    cfg = PipelineConfig(run_id="sc", shard_cache_path=paths["cache"])
+    run_and_write(spark, pages, paths["out1"], paths["lin"], cfg)
+    rows = spark.read.parquet(paths["cache"]).count()
+    assert rows > 0
+
+    # simulate the crash window: first rename done, second never ran
+    backup, staging = paths["cache"] + "__old", paths["cache"] + "__gc"
+    os.rename(paths["cache"], backup)
+    os.makedirs(staging, exist_ok=True)  # plus a stale staging dir
+
+    stats = gc_shard_cache(spark, paths["cache"], cfg.fingerprint)
+    assert stats["rows_kept"] == rows, "backup not recovered"
+    assert not os.path.exists(backup) and not os.path.exists(staging)
+    assert spark.read.parquet(paths["cache"]).count() == rows
+
+    # same crash state, recovered by extraction instead of gc: the resumed
+    # run must see the cached shards (no re-extract) and produce full output
+    os.rename(paths["cache"], backup)
+    m = run_and_write(spark, pages, paths["out2"], paths["lin"], cfg)
+    assert m["rows"] == N
+    assert os.path.isdir(paths["cache"]) and not os.path.exists(backup)
+
+    # stale dirs WITH a live cache (crash after swap, before cleanup):
+    # gc must clear them, not fail or rename onto them
+    os.makedirs(staging, exist_ok=True)
+    shutil.copytree(paths["cache"], backup)
+    stats = gc_shard_cache(spark, paths["cache"], cfg.fingerprint)
+    assert stats["rows_kept"] == rows
+    assert not os.path.exists(backup) and not os.path.exists(staging)

@@ -19,6 +19,12 @@ import __spark_entry__ as entrymod
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
+# oracle generators embed data-derived constants (IVF centroids, BPE corpus
+# vocab) from this dir — thread the harness SF through before oracle_sql()
+import os  # noqa: E402
+
+os.environ["PARAOCR_SF_DIR"] = SF_DIR
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
