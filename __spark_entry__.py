@@ -183,20 +183,43 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
-def _q_dedup_ngram_jaccard(spark, sf_dir):
-    from paraocr_spark.operators.dedup import dedup_ngram_jaccard
+def _materialize_small(spark, q):
+    """Run a query eagerly and hand back its (small) result as a local
+    DataFrame. Used by entry queries whose efficient plan persists an
+    intermediate inside a scope (shingle_cache): the action must run while
+    the scope is open — at production scale that action is the sink write;
+    here the result sets are pair lists, tiny at every gate/bench SF."""
+    rows = q.collect()
+    return spark.createDataFrame(rows, schema=q.schema)
 
-    return dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Eager: the r4 A/B winner materializes the shingle table DISK_ONLY
+    for the plan's three consumers (candidate chain + both verify sides),
+    scoped so the storage is released before returning — 6.6 s vs 9.9 s
+    (shuffle-as-cache) at sf0.1 (operators/dedup.shingle_cache)."""
+    from paraocr_spark.operators.dedup import dedup_ngram_jaccard, shingle_cache
+
+    docs = _docs(spark, sf_dir)
+    with shingle_cache(docs) as sh:
+        return _materialize_small(
+            spark, dedup_ngram_jaccard(docs, threshold=0.5, sh=sh)
+        )
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
     """threshold=0.9: 16x4 banding has ~1.0 candidate recall only at
     j >= 0.9 (P(miss) = (1-0.9^4)^16 ~ 4e-8), so ONLY there is the exact
     all-pairs jaccard SQL a fair oracle for the approximate algorithm;
-    at j=0.5 recall is ~64% and the gate would over-claim."""
-    from paraocr_spark.operators.dedup import dedup_minhash_lsh
+    at j=0.5 recall is ~64% and the gate would over-claim.
+    Eager shingle_cache scope like _q_dedup_ngram_jaccard (2.4 s vs 6.0 s)."""
+    from paraocr_spark.operators.dedup import dedup_minhash_lsh, shingle_cache
 
-    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.9)
+    docs = _docs(spark, sf_dir)
+    with shingle_cache(docs) as sh:
+        return _materialize_small(
+            spark, dedup_minhash_lsh(docs, threshold=0.9, sh=sh)
+        )
 
 
 def _q_dedup_simhash(spark, sf_dir):

@@ -53,22 +53,47 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 8,
     n-gram with any training document (self-pairs excluded, so a benchmark
     row that also exists verbatim in train still reports its copies).
 
-    Scale shape: both sides explode to (hash, id); the equi-join is keyed on
-    the 8-byte hash with string equality verified in the same join (a
-    collision only costs a discarded row, never a wrong answer). n_hits =
-    distinct shared grams, n_train_docs = distinct contaminating train docs.
+    Scale shape (VERDICT r3 #4 — the train-side gram STRINGS must never
+    ride a corpus-sized shuffle; at 100 TB the distinct train 8-grams are
+    ~10x the corpus bytes):
+
+    1. candidate join keyed on the 8-byte xxhash64 ONLY — the big (train)
+       side shuffles (train_id, h), nothing string-typed;
+    2. exact verify via the PPJoin pattern (operators/dedup.py): re-derive
+       train grams, broadcast-SEMI-filter them to the candidate hashes AT
+       THE EXPLODE (map-side, before any Exchange), and string-compare just
+       that candidate-sized subset in a second small join. A collision only
+       costs a discarded candidate, never a wrong answer.
+
+    The candidate set routes through one explicit repartition Exchange
+    (shuffle-as-cache) so the hash-join runs once, not once per consumer.
+    n_hits = distinct shared grams, n_train_docs = distinct contaminating
+    train docs — identical semantics (and oracle) to a raw string join.
     """
-    tr = _word_ngrams(train, n, id_col, text_col).select(
-        F.col("id").alias("train_id"), F.col("gram").alias("g_tr"),
-        F.xxhash64("gram").alias("h"),
+    tr_h = _word_ngrams(train, n, id_col, text_col).select(
+        F.col("id").alias("train_id"), F.xxhash64("gram").alias("h")
     )
     te = _word_ngrams(test, n, id_col, text_col).select(
-        F.col("id").alias("test_id"), F.col("gram").alias("g_te"),
-        F.xxhash64("gram").alias("h"),
+        F.col("id").alias("test_id"),
+        F.col("gram").alias("g_te"), F.xxhash64("gram").alias("h"),
+    )
+    cand = (
+        te.join(tr_h, "h")
+        .where(F.col("test_id") != F.col("train_id"))
+        .repartition(F.col("h"))  # shuffle-as-cache: candidate-sized
+    )
+    # candidate hashes are small (contamination-sized) -> broadcast them and
+    # prune the verify-side explode before its strings reach any shuffle
+    cand_h = cand.select("h").distinct()
+    tr_verify = (
+        _word_ngrams(train, n, id_col, text_col)
+        .select(F.col("id").alias("train_id"), F.col("gram").alias("g_tr"),
+                F.xxhash64("gram").alias("h"))
+        .join(F.broadcast(cand_h), "h", "left_semi")
     )
     hits = (
-        te.join(tr, ["h"])
-        .where((F.col("g_te") == F.col("g_tr")) & (F.col("test_id") != F.col("train_id")))
+        cand.join(tr_verify, ["h", "train_id"])
+        .where(F.col("g_te") == F.col("g_tr"))
     )
     return hits.groupBy("test_id").agg(
         F.countDistinct("g_te").alias("n_hits"),

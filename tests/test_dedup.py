@@ -159,3 +159,40 @@ def test_simhash_portable_md5_matches_brute(spark, docs):
         if bin(sig[a] ^ sig[b]).count("1") <= 3
     }
     assert got == brute
+
+
+def test_shingle_cache_scope_identical_and_released(spark, docs, doc_texts):
+    """r4: the DISK_ONLY shingle_cache scope must (a) produce results
+    identical to the lazy shuffle-as-cache default, (b) release its
+    storage on exit — including on error — so long-lived sessions never
+    accumulate persisted RDDs (the r2 leak)."""
+    jsc = spark.sparkContext._jsc
+
+    base = {(r.a, r.b): r.jaccard
+            for r in dedup.dedup_ngram_jaccard(docs, threshold=0.5).collect()}
+    with dedup.shingle_cache(docs) as sh:
+        got = {(r.a, r.b): r.jaccard
+               for r in dedup.dedup_ngram_jaccard(docs, threshold=0.5, sh=sh).collect()}
+        # the action materialized the persisted shingle RDD
+        assert jsc.getPersistentRDDs().size() >= 1
+        got_mh = {(r.a, r.b)
+                  for r in dedup.dedup_minhash_lsh(docs, threshold=0.9, sh=sh).collect()}
+    assert got == base
+    base_mh = {(r.a, r.b)
+               for r in dedup.dedup_minhash_lsh(docs, threshold=0.9).collect()}
+    assert got_mh == base_mh
+    assert jsc.getPersistentRDDs().size() == 0
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with dedup.shingle_cache(docs):
+            raise RuntimeError("boom")
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_ppjoin_expand_variants_identical(spark, docs):
+    """selfjoin (skew-safe default) and bucket expansion must yield the
+    same candidate set."""
+    sh = dedup.with_shingles(docs)
+    a = {(r.a, r.b) for r in dedup.ppjoin_candidates(sh, 0.5, expand="selfjoin").collect()}
+    b = {(r.a, r.b) for r in dedup.ppjoin_candidates(sh, 0.5, expand="bucket").collect()}
+    assert a == b and a

@@ -168,3 +168,63 @@ def test_neardup_lsh_has_no_quadratic_join(spark):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     # and it actually runs
     assert neardup_pairs_lsh(emb, threshold=0.3).count() >= 0
+
+
+def test_ppjoin_prefix_shuffle_carries_no_strings(spark, docs):
+    """VERDICT r3 #3: the PPJoin prefix stage must shuffle only 8-byte
+    hashes — no Exchange anywhere in the candidate plan may carry the
+    shingle string column, and the pair expansion must be a keyed join
+    (AQE-skew-splittable), not a per-bucket collect_set buffer."""
+    import re
+
+    from paraocr_spark.operators.dedup import ppjoin_candidates, with_shingles
+
+    p = plan_of(ppjoin_candidates(with_shingles(docs), 0.5))
+    # formatted mode lists each node; Exchange outputs must not include the
+    # exploded shingle column `s` (string) — only ids/sizes/hashes/counts
+    for m in re.finditer(r"\(\d+\) Exchange[^(]*(?:\n(?!\(\d+\)).*)*", p):
+        node = m.group(0)
+        out = re.search(r"Output(?: \[\d+\])?: \[([^\]]*)\]", node)
+        if out:
+            assert not re.search(r"\bs#\d+", out.group(1)), (
+                "shingle string rides an Exchange:\n" + node
+            )
+    assert "collect_set" not in p  # streamed expansion, no bucket buffers
+    # the prefix Exchange is computed once and reused by both join sides —
+    # AQE materializes the reuse at runtime, so assert on the EXECUTED plan
+    q = ppjoin_candidates(with_shingles(docs), 0.5)
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_decontaminate_train_strings_stay_out_of_big_shuffle(spark, docs):
+    """VERDICT r3 #4: decontaminate's corpus-sized join must be keyed on
+    (train_id, h) only; the train gram STRINGS may appear solely on the
+    broadcast-semi-filtered verify side (candidate-sized)."""
+    import re
+
+    from paraocr_spark.operators.corpus import decontaminate
+
+    q = decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+    p = plan_of(q)
+    # every Exchange/BroadcastExchange in the plan, by its Input columns
+    exchanges = []
+    for m in re.finditer(r"\(\d+\) (?:Broadcast)?Exchange[^(]*(?:\n(?!\(\d+\)).*)*", p):
+        out = re.search(r"Input(?: \[\d+\])?: \[([^\]]*)\]", m.group(0))
+        if out:
+            exchanges.append(out.group(1))
+    gramful = [e for e in exchanges if re.search(r"\bg_tr#\d+|\bgram#\d+", e)]
+    hash_only = [
+        e for e in exchanges
+        if re.search(r"\btrain_id#\d+", e) and not re.search(r"\bg_tr#\d+|\bgram#\d+", e)
+    ]
+    assert hash_only, "no hash-only train-side exchange found:\n" + p
+    assert len(gramful) == 1, (
+        "train gram strings must ride exactly the (candidate-semi-filtered) "
+        "verify-side exchange: " + repr(gramful)
+    )
