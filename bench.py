@@ -1,23 +1,36 @@
 """Benchmark harness (driver-run per round; see BASELINE.md).
 
-TIMED-SECTION DEFINITION (pinned round 3 — keep fixed so round-over-round
-numbers stay attributable):
+TIMED-SECTION DEFINITION (pinned round 3; BENCH_DOCS default raised
+20k -> 100k in round 4 — VERDICT r3 #5 — so the headline tracks the
+kernel again; the timing boundaries themselves are unchanged, and 20k
+numbers remain reproducible via BENCH_DOCS=20000):
 
   * ``extract_synthetic`` / ``docs_per_sec``: wall of ONE
     ``run_and_write`` over BENCH_DOCS synthetic pages (pages parquet is
     materialized UNTIMED first) with ``PipelineConfig(run_id="bench")``
     defaults — covers resume anti-join (no-op), salting, kernel, shard
     reassembly, the (run_id, warc_bucket=64) partitioned output write, the
-    lineage read-back + write. docs_per_sec = rows / that wall.
+    lineage read-back + write. docs_per_sec = rows / that wall. At 20k
+    docs ~8-10 s of FIXED machinery dominated, so the headline moved with
+    scheduling noise (+-15% run-to-run); at 100k the fixed share is
+    amortized and docs_per_sec reproduces to +-3% (measured r4:
+    5375/5680). Note the Python kernel is ~15% of this wall at 32 cores
+    (87.8 kernel-cpu-s / 32 vs ~18 s wall) — the rest is scan, Arrow IPC,
+    and the partitioned parquet write, which scale WITH docs, so no
+    BENCH_DOCS makes the kernel >50% of wall; docs_per_sec is the ENGINE
+    throughput headline, kernel_cpu_sec below is the kernel signal.
   * ``kernel_cpu_sec``: sum(wall_time_s) from the run's lineage table —
     pure Python-kernel seconds across all tasks, the number the 100 TB
-    constant factor scales with (pipeline wall at 20k docs is dominated by
-    fixed Spark machinery, so kernel gains barely move extract_synthetic).
+    constant factor scales with. Stable to +-5% and moves 1:1 with kernel
+    changes. Round-over-round comparisons at the 20k basis: r2 27.5 ->
+    r3 21.7 -> r4 16.1 (scale linearly for other BENCH_DOCS).
   * per-query seconds: build + ``.count()`` of each __spark_entry__ query
     at $SPARK_GRAFT_SF_DIR, run sequentially in one session in dict order.
-    No operator persists/caches, so queries are independent (round 2's
-    numbers were NOT: a persist inside dedup leaked shingles to later
-    queries via CacheManager plan matching — fixed in round 3).
+    Queries are independent: nothing persisted outlives its query (round
+    2's numbers were NOT independent — a leaked persist inside dedup fed
+    later queries via CacheManager plan matching; since round 4 the dedup
+    queries persist shingles ONLY inside a scoped shingle_cache that is
+    released before the query returns).
 
 Prints ONE JSON line:
   {"metric": "...", "value": <sec>, "unit": "sec",
@@ -25,7 +38,7 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_DOCS (default 20000) synthetic extraction corpus size.
+     BENCH_DOCS (default 100000) synthetic extraction corpus size.
 """
 
 from __future__ import annotations
@@ -41,7 +54,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 
 
 def main() -> int:

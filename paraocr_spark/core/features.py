@@ -38,8 +38,13 @@ def _round4(x: float) -> float:
     return math.floor(x * 10_000 + 0.5) / 10_000
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
-_ALPHA_RE = re.compile(r"[A-Za-z]")
-_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+# alpha counting: delete every non-[A-Za-z] byte and take the length.
+# UTF-8 bytes of non-ASCII chars are all >= 0x80, so they land in the
+# delete set and the result length equals the regex-[A-Za-z] char count —
+# one memchr-speed C pass, ~3x faster than regex-sub of the complement.
+_NON_ALPHA_BYTES = bytes(
+    i for i in range(256) if not (65 <= i <= 90 or 97 <= i <= 122)
+)
 
 _STOPWORDS = frozenset(
     "the a an and or not of to in on at for with from by as is are was were".split()
@@ -52,6 +57,12 @@ LANG_MARKERS: dict[str, frozenset] = {
     "fr": frozenset("le les et des une du dans est pour sur".split()),
 }
 _LANG_ORDER = list(LANG_MARKERS)
+# token -> tuple of lang indexes it marks (handles any overlap), so the
+# stop/lang scoring is ONE pass over counter.items() instead of five
+_MARKER_LANGS: dict[str, tuple] = {}
+for _li, _lang in enumerate(_LANG_ORDER):
+    for _t in LANG_MARKERS[_lang]:
+        _MARKER_LANGS[_t] = _MARKER_LANGS.get(_t, ()) + (_li,)
 
 FEATURE_FIELDS = [
     ("n_chars", "long"),
@@ -73,42 +84,58 @@ _RK_POWERS: list[int] = [1]
 
 
 def _rk_fingerprint(hashes: list) -> int:
-    """sum(h_i * B^i) mod P over python-int token hashes. The mod is taken
-    ONCE at the end: each term is < 2^122, so the accumulator stays a
-    2-3 limb bigint — one final C-level mod instead of 2n modmuls
-    (measured ~2x on the per-doc loop), with an identical result."""
+    """sum(h_i * B^i) mod P over python-int token hashes (reference form;
+    the kernel uses _rk_fingerprint_premod with memoized h % P)."""
+    return _rk_fingerprint_premod([h % _RK_P for h in hashes])
+
+
+def _rk_fingerprint_premod(hmods: list) -> int:
+    """sum(hm_i * B^i) mod P over PREMODDED token hashes (hm = h % P).
+
+    The mod is taken ONCE at the end: each term is < 2^122, so the
+    accumulator stays a 2-3 limb bigint — one final C-level mod instead of
+    2n modmuls; and the sum-of-products runs as sum(map(mul, ...)), a
+    C-driven loop with no per-iteration interpreter frame (r4: ~2x on the
+    per-doc loop vs the explicit zip loop, identical result)."""
+    import operator
+
     powers = _RK_POWERS
-    P = _RK_P
-    while len(powers) < len(hashes):
-        powers.append((powers[-1] * _RK_B) % P)
-    acc = 0
-    for h, p in zip(hashes, powers):
-        acc += (h % P) * p
-    return acc % P
+    while len(powers) < len(hmods):
+        powers.append((powers[-1] * _RK_B) % _RK_P)
+    return sum(map(operator.mul, hmods, powers)) % _RK_P
 FEATURES_DDL = "struct<" + ",".join(f"{n}:{t}" for n, t in FEATURE_FIELDS) + ">"
 
 
-# token -> 64-bit hash memo, shared across documents in a worker process
-# (token distributions are Zipfian: most crc32 work repeats otherwise)
-_HASH_MEMO: dict[str, int] = {}
+# token -> (hash, hash % P) memo, shared across documents in a worker
+# process (token distributions are Zipfian: most crc32 work repeats
+# otherwise). The premodded value feeds the rolling hash so the % P runs
+# once per DISTINCT token ever seen, not once per token occurrence.
+_HASH_MEMO: dict[str, tuple] = {}
 _HASH_MEMO_CAP = 1_000_000
 
 
-def _token_hash_list(uniq: list) -> list:
-    """64-bit crc32-pair hash per distinct token, as python ints (feeds
-    both the numpy simhash matrix and the bigint rolling hash)."""
+def _token_hash_pairs(uniq: list) -> tuple:
+    """(hashes, hashes % P) per distinct token, as python ints — the full
+    64-bit hash feeds the numpy simhash matrix, the premod the rolling
+    hash."""
     memo = _HASH_MEMO
-    out = []
-    append = out.append
+    hs, hm = [], []
+    ah, am = hs.append, hm.append
     for t in uniq:
-        h = memo.get(t)
-        if h is None:
+        pair = memo.get(t)
+        if pair is None:
             b = t.encode("utf-8")
             h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+            pair = (h, h % _RK_P)
             if len(memo) < _HASH_MEMO_CAP:
-                memo[t] = h
-        append(h)
-    return out
+                memo[t] = pair
+        ah(pair[0])
+        am(pair[1])
+    return hs, hm
+
+
+def _token_hash_list(uniq: list) -> list:
+    return _token_hash_pairs(uniq)[0]
 
 
 def _simhash64_counted(hs: list, counts: list) -> int:
@@ -146,27 +173,35 @@ def compute_features(text: str | None) -> dict:
     lower = cap.lower()
     tokens = _TOKEN_RE.findall(lower)
     n_tok = len(tokens)
-    # one C pass (sub of the complement class) instead of materializing a
-    # list of single-char matches — same count, ~3x faster
-    alpha = len(_NON_ALPHA_RE.sub("", cap))
+    # delete non-alpha BYTES and count what's left — one memchr-speed C
+    # pass; equals the [A-Za-z] char count (non-ASCII utf-8 bytes are all
+    # >= 0x80, inside the delete set)
+    alpha = len(cap.encode("utf-8").translate(None, _NON_ALPHA_BYTES))
     alpha_ratio = _round4(alpha / len(cap)) if cap else 0.0
     if n_tok:
         # Counter = O(n) hashing; np.unique object-sorts the token array
         # (O(n log n) string compares) for an order nothing downstream needs
         counter = Counter(tokens)
-        stop = sum(c for t, c in counter.items() if t in _STOPWORDS)
+        # ONE pass over distinct tokens scores stopwords + all languages
+        stop = 0
+        scores = [0] * len(_LANG_ORDER)
+        markers = _MARKER_LANGS
+        stopwords = _STOPWORDS
+        for t, c in counter.items():
+            if t in stopwords:
+                stop += c
+            ls = markers.get(t)
+            if ls is not None:
+                for li in ls:
+                    scores[li] += c
         stop_ratio = _round4(stop / n_tok)
-        scores = [
-            sum(c for t, c in counter.items() if t in LANG_MARKERS[l])
-            for l in _LANG_ORDER
-        ]
         best = max(scores)
         lang_pred = "und" if best == 0 else _LANG_ORDER[scores.index(best)]
         uniq = list(counter.keys())
-        hs = _token_hash_list(uniq)
+        hs, hm = _token_hash_pairs(uniq)
         simhash = _simhash64_counted(hs, list(counter.values()))
-        hd = dict(zip(uniq, hs))  # reuse the uniq hashes: no 2nd memo pass
-        rolling = _rk_fingerprint([hd[t] for t in tokens])
+        hdm = dict(zip(uniq, hm))  # reuse the uniq premods: no 2nd memo pass
+        rolling = _rk_fingerprint_premod([hdm[t] for t in tokens])
     else:
         stop_ratio, lang_pred, simhash, rolling = 0.0, "und", 0, 0
     return {

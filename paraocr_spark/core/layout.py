@@ -39,38 +39,46 @@ def encode_layout(pages: list[list[tuple[float, float, str]]]) -> bytes:
     return b"".join(out)
 
 
+_H = struct.Struct("<H")
+_FFH = struct.Struct("<ffH")
+
+
 def decode_layout(payload: bytes) -> list[list[tuple[float, float, str]]]:
     """Parse the binary format back into pages of (x, y, text) lines.
 
     Raises ValueError on truncation/corruption — callers turn that into an
     in-band error row (analog of parallel.py:565-569).
+
+    Hot path (every layout doc decodes here): precompiled Structs, one
+    unpack per line, bounds enforced by struct.error + the final
+    end-of-buffer check (r4 — the per-field take() closure was ~45% of
+    layout extraction: 3 struct calls + a bounds branch per line).
     """
     if not payload.startswith(MAGIC):
         raise ValueError("bad magic")
+    n = len(payload)
     off = len(MAGIC)
-
-    def take(fmt: str) -> tuple:
-        nonlocal off
-        size = struct.calcsize(fmt)
-        if off + size > len(payload):
-            raise ValueError("truncated layout payload")
-        vals = struct.unpack_from(fmt, payload, off)
-        off += size
-        return vals
-
-    (n_pages,) = take("<H")
     pages: list[list[tuple[float, float, str]]] = []
-    for _ in range(n_pages):
-        (n_lines,) = take("<H")
-        lines = []
-        for _ in range(n_lines):
-            x, y, ln = take("<ffH")
-            if off + ln > len(payload):
-                raise ValueError("truncated layout payload")
-            text = payload[off : off + ln].decode("utf-8")
-            off += ln
-            lines.append((x, y, text))
-        pages.append(lines)
+    try:
+        (n_pages,) = _H.unpack_from(payload, off)
+        off += 2
+        for _ in range(n_pages):
+            (n_lines,) = _H.unpack_from(payload, off)
+            off += 2
+            lines = []
+            append = lines.append
+            unpack = _FFH.unpack_from
+            for _ in range(n_lines):
+                x, y, ln = unpack(payload, off)
+                off += 10
+                end = off + ln
+                if end > n:
+                    raise ValueError("truncated layout payload")
+                append((x, y, payload[off:end].decode("utf-8")))
+                off = end
+            pages.append(lines)
+    except struct.error:
+        raise ValueError("truncated layout payload") from None
     return pages
 
 
@@ -81,9 +89,12 @@ def extract_layout(payload: bytes) -> tuple[str, list[tuple[int, int]]]:
     analog), joined with "\\n"; pages joined with PAGE_BREAK
     (parallel.py:657-660). Spans cover each page's text in the merged doc.
     """
+    from operator import itemgetter
+
     pages = decode_layout(payload)
+    _yx = itemgetter(1, 0)  # C-level key: sort by (y, x)
     page_texts = [
-        "\n".join(t for _, _, t in sorted(lines, key=lambda l: (l[1], l[0])))
+        "\n".join([t for _, _, t in sorted(lines, key=_yx)])
         for lines in pages
     ]
     spans: list[tuple[int, int]] = []
@@ -101,22 +112,21 @@ def _page_offsets(payload: bytes) -> list[int]:
     if not payload.startswith(MAGIC):
         raise ValueError("bad magic")
     off = len(MAGIC)
-    (n_pages,) = struct.unpack_from("<H", payload, off)
-    off += 2
-    offsets = []
-    for _ in range(n_pages):
-        offsets.append(off)
-        if off + 2 > len(payload):
-            raise ValueError("truncated layout payload")
-        (n_lines,) = struct.unpack_from("<H", payload, off)
+    try:
+        (n_pages,) = _H.unpack_from(payload, off)
         off += 2
-        for _ in range(n_lines):
-            if off + 10 > len(payload):
-                raise ValueError("truncated layout payload")
-            (ln,) = struct.unpack_from("<H", payload, off + 8)
-            off += 10 + ln
-            if off > len(payload):
-                raise ValueError("truncated layout payload")
+        offsets = []
+        for _ in range(n_pages):
+            offsets.append(off)
+            (n_lines,) = _H.unpack_from(payload, off)
+            off += 2
+            for _ in range(n_lines):
+                (ln,) = _H.unpack_from(payload, off + 8)
+                off += 10 + ln
+                if off > len(payload):
+                    raise ValueError("truncated layout payload")
+    except struct.error:
+        raise ValueError("truncated layout payload") from None
     offsets.append(off)
     return offsets
 
