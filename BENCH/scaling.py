@@ -17,8 +17,17 @@ page tables). A pure-userspace probe (multiprocessing spinners) shows the
 host delivers 32 full cores at 0.99 efficiency; the 8->32 pair is reported
 anyway for transparency.
 
-Usage:  python3 BENCH/scaling.py [n_docs]
-Writes BENCH/scaling_results.json; BENCH/BASELINE.md summarizes.
+Usage:  python3 BENCH/scaling.py [n_docs] [mode]
+  mode "gate" (default): primary 1x2->4x2 + secondary 1x8->4x8 pair run
+  mode "ladder":  1x2 -> 2x2 -> 4x2 ladder (VERDICT r3 fallback evidence:
+                  isolates WHERE the single-host wall binds — the 2x2
+                  point has 4 workers like a passing 1x1->4x1 pair, the
+                  4x2 point has 8 and hits the wall)
+  mode "pair1x1": one 1x1 -> 4x1 execution (run 3x for the triplet)
+Writes BENCH/scaling_results.json (gate) / scaling_ladder.json /
+scaling_1x1.json; every execution appends to scaling_history.json.
+Each level's job JSON now carries kernel_cpu_s (total Python-kernel
+seconds from lineage), so reports decompose kernel scaling from wall.
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ MASTER = "spark://127.0.0.1:7077"
 # small against the parallel kernel share (~57 s at 288k) or Amdahl caps
 # the measured ratio below the engine's true scaling
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 288000
+MODE = sys.argv[2] if len(sys.argv) > 2 else "gate"
 
 ALLOC_ENV = [
     "--conf", "spark.executorEnv.MALLOC_MMAP_THRESHOLD_=268435456",
@@ -184,20 +194,91 @@ def pair(name: str, executor_cores: int, zpath: str, pages: str, tmp: str,
     }
 
 
+def _append_history(entry: dict) -> None:
+    hist_path = REPO / "BENCH" / "scaling_history.json"
+    hist = json.loads(hist_path.read_text()) if hist_path.exists() else []
+    hist.append(entry)
+    hist_path.write_text(json.dumps(hist, indent=2) + "\n")
+
+
+def run_ladder(zpath: str, pages: str, tmp: str) -> None:
+    """1x2 -> 2x2 -> 4x2 cores ladder: same job, same input, executor
+    count 1/2/4 at 2 cores each. Reports pairwise efficiencies AND the
+    kernel-seconds at each level — if kernel work is conserved while the
+    8-worker wall flattens only the last step, the host (not the engine)
+    binds there."""
+    levels = {}
+    for execs, trials in ((1, 2), (2, 3), (4, 5)):
+        res = best_of(trials, 2, 2 * execs, zpath, pages, tmp)
+        levels[f"{execs}x2"] = res
+        sys.stderr.write(
+            f"ladder {execs}x2: {res['docs_per_sec']:.0f} docs/s "
+            f"kernel {res.get('kernel_cpu_s', -1):.0f}s "
+            f"trials {res.get('all_trials_docs_per_sec')}\n"
+        )
+    t = {k: v["docs_per_sec"] for k, v in levels.items()}
+    out = {
+        "n_docs": N_DOCS,
+        "levels": levels,
+        "throughput_docs_per_sec": {k: round(v, 2) for k, v in t.items()},
+        "kernel_cpu_s": {
+            k: round(v.get("kernel_cpu_s", -1), 1) for k, v in levels.items()
+        },
+        "efficiency": {
+            "1x2->2x2": round(t["2x2"] / t["1x2"] / 2, 3),
+            "2x2->4x2": round(t["4x2"] / t["2x2"] / 2, 3),
+            "1x2->4x2": round(t["4x2"] / t["1x2"] / 4, 3),
+        },
+    }
+    (REPO / "BENCH" / "scaling_ladder.json").write_text(
+        json.dumps(out, indent=2) + "\n"
+    )
+    _append_history({"n_docs": N_DOCS, "pair": "ladder",
+                     **out["efficiency"]})
+    print(json.dumps(out, indent=2))
+
+
+def run_pair1x1(zpath: str, pages: str, tmp: str) -> None:
+    p = pair("1x1 -> 4x1 executor cores", 1, zpath, pages, tmp,
+             trials_n=2, trials_4n=3)
+    (REPO / "BENCH" / "scaling_1x1.json").write_text(
+        json.dumps(p, indent=2) + "\n"
+    )
+    _append_history({
+        "n_docs": N_DOCS, "pair": "1x1->4x1",
+        "efficiency": p["scaling_efficiency"], "pass": p["pass"],
+    })
+    print(json.dumps(p, indent=2))
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="paraocr_scale_")
     try:
         start_cluster()
         zpath = make_zip(tmp)
         pages = gen_pages(tmp)
-        # 6 trials at 4N: the 4N level draws from a wide single-host
-        # noise distribution (measured 3537-5640 docs/s on identical
-        # runs) while N is stable (+-0.5%); noise is strictly additive,
-        # so more draws tighten the capacity estimate
+        if MODE == "ladder":
+            run_ladder(zpath, pages, tmp)
+            return
+        if MODE == "pair1x1":
+            run_pair1x1(zpath, pages, tmp)
+            return
+        # 4N draws from a wide single-host noise distribution (measured
+        # 3537-5640 docs/s on identical runs) while N is stable (+-0.5%);
+        # noise is strictly additive, so more draws tighten the capacity
+        # estimate. Trial counts are env-tunable: big-corpus gate runs
+        # (1.15M docs, where the ~27 s fixed per-run cost stops binding
+        # the ratio — see the r4 ladder decomposition in BENCH/BASELINE.md)
+        # take ~10 min per N trial, so fewer draws keep executions
+        # feasible.
         primary = pair("1x2 -> 4x2 executor cores", 2, zpath, pages, tmp,
-                       trials_4n=6)
-        secondary = pair("1x8 -> 4x8 executor cores", 8, zpath, pages, tmp,
-                         trials_n=2, trials_4n=2)  # informational (host wall)
+                       trials_n=int(os.environ.get("SCALE_TRIALS_N", "3")),
+                       trials_4n=int(os.environ.get("SCALE_TRIALS_4N", "6")))
+        if os.environ.get("SCALE_SKIP_SECONDARY"):
+            secondary = {"scaling_efficiency": -1.0, "skipped": True}
+        else:
+            secondary = pair("1x8 -> 4x8 executor cores", 8, zpath, pages,
+                             tmp, trials_n=2, trials_4n=2)  # informational
         result = {
             "n_docs": N_DOCS,
             "cluster": "standalone, 4 worker daemons on one 32-core host",

@@ -417,6 +417,30 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality signal battery + boolean gate per
+    doc (Rae et al. 2021 Table A1 lineage) — pure JVM expressions."""
+    from paraocr_spark.functions.text import gopher_gate, gopher_signals
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", gopher_signals(F.col("text")).alias("g"))
+        .select(
+            "doc_id", "g.*",
+            gopher_gate(signals=F.col("g")).alias("pass_gate"),
+        )
+    )
+
+
+def _q_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide duplicate-span removal over 5-word tiles:
+    every span occurring more than once survives only at its globally
+    first (doc_id, pos); docs are rebuilt from kept spans."""
+    from paraocr_spark.operators.corpus import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), w=5)
+
+
 def _q_length_quantiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per lang (corpus
     length profiling — the stats a training-data pipeline reports)."""
@@ -517,6 +541,8 @@ _RAW_QUERIES = {
     "decontaminate": _q_decontaminate,
     "stratified_sample": _q_stratified_sample,
     "tfidf_top_terms": _q_tfidf_top_terms,
+    "gopher_quality": _q_gopher_quality,
+    "span_dedup": _q_span_dedup,
         "lang_id": _q_lang_id,
     "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
@@ -1055,6 +1081,55 @@ select tf.doc_id as id, tf.term,
          order by round(tf.tf * ln(n.n / df.df), 6) desc, tf.term asc) as rank
 from tf join df using (term) cross join n
 qualify rank <= 3
+""",
+        "gopher_quality": f"""
+with base as (
+  select doc_id, string_split_regex(trim(text), '\\s+') as ws,
+         length(trim(text)) > 0 as hw
+  from documents
+), sig as (
+  select doc_id,
+    case when hw then len(ws) else 0 end as n_words,
+    case when hw then round(list_sum(list_transform(ws, w -> length(w)))::double / len(ws), 4) else 0.0 end as mean_word_len,
+    case when hw then list_max(list_transform(ws, w -> length(w))) else 0 end as max_word_len,
+    case when hw then round(len(list_distinct(ws))::double / len(ws), 4) else 0.0 end as distinct_ratio,
+    case when hw then round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::double / len(ws), 4) else 0.0 end as alpha_word_ratio,
+    case when hw then len(list_filter(ws, w -> list_contains([{stop_list}], lower(w)))) else 0 end as stop_hits
+  from base
+)
+select doc_id, n_words, mean_word_len, max_word_len, distinct_ratio,
+       alpha_word_ratio, stop_hits,
+       (n_words between 50 and 100000 and mean_word_len between 3.0 and 10.0
+        and distinct_ratio >= 0.2 and alpha_word_ratio >= 0.8
+        and stop_hits >= 2) as pass_gate
+from sig
+""",
+        "span_dedup": """
+with d as (
+  select doc_id as id, string_split(trim(text), ' ') as ws
+  from documents where text is not null
+), ex as (
+  select id, u.pos as pos, u.win as win from (
+    select id, unnest(list_transform(range(0, cast(ceil(len(ws) / 5.0) as bigint)),
+      r -> struct_pack(pos := r,
+                       win := array_to_string(ws[r*5+1 : r*5+5], ' ')))) as u
+    from d
+  )
+), ranked as (
+  select id, pos, win,
+         row_number() over (partition by win order by id, pos) as rn
+  from ex
+), rebuilt as (
+  select id, string_agg(win, ' ' order by pos) as clean_text,
+         count(*) as n_kept
+  from ranked where rn = 1 group by id
+), totals as (
+  select id, count(*) as n_windows from ex group by id
+)
+select t.id, coalesce(r.clean_text, '') as clean_text,
+       t.n_windows::bigint as n_windows,
+       (t.n_windows - coalesce(r.n_kept, 0))::bigint as n_removed
+from totals t left join rebuilt r on t.id = r.id
 """,
         "lang_id": (
             f"select {lang_case} as lang_pred, count(*) as n from documents group by 1"

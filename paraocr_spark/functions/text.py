@@ -83,6 +83,59 @@ def quality_gate(col: Column) -> Column:
     )
 
 
+def gopher_signals(col: Column) -> Column:
+    """Gopher-style per-document repetition/quality signals (Rae et al.
+    2021, Table A1 lineage) as ONE struct of pure JVM expressions — the
+    standard pre-training filter battery, Catalyst-visible so it rides the
+    scan with zero Python:
+
+      n_words            whitespace-delimited word count
+      mean_word_len      avg word length, 4dp
+      max_word_len       longest word
+      distinct_ratio     distinct words / words (the repetition signal —
+                         Gopher's duplicate-line fraction generalized to
+                         the unit arbitrary text always has), 4dp
+      alpha_word_ratio   words containing >= 1 [A-Za-z], 4dp
+      stop_hits          occurrences of a small English stop set (Gopher
+                         requires >= 2 distinct stop words)
+    """
+    ws = F.split(F.trim(col), "\\s+")
+    n = F.size(ws)
+    has_words = (F.length(F.trim(col)) > 0) & (n > 0)
+    tot_len = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stops, F.lower(w))))
+    return F.struct(
+        F.when(has_words, n).otherwise(F.lit(0)).alias("n_words"),
+        F.when(has_words, F.round(tot_len / n, 4)).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(has_words, F.array_max(F.transform(ws, F.length))).otherwise(F.lit(0)).alias("max_word_len"),
+        F.when(has_words, F.round(F.size(F.array_distinct(ws)) / n, 4)).otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        F.when(has_words, F.round(alpha_words / n, 4)).otherwise(F.lit(0.0)).alias("alpha_word_ratio"),
+        F.when(has_words, stop_hits).otherwise(F.lit(0)).alias("stop_hits"),
+    )
+
+
+def gopher_gate(col: Column | None = None, min_words: int = 50,
+                max_words: int = 100_000,
+                min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                min_distinct: float = 0.2, min_alpha_words: float = 0.8,
+                min_stop_hits: int = 2,
+                signals: Column | None = None) -> Column:
+    """Boolean Gopher filter over gopher_signals with the published-style
+    thresholds as parameters (defaults per the Gopher rules, scaled to
+    this corpus' short docs via min_words=50). Pass ``signals`` (an
+    already-projected gopher_signals struct) to gate without recomputing."""
+    s = signals if signals is not None else gopher_signals(col)
+    return (
+        s["n_words"].between(min_words, max_words)
+        & s["mean_word_len"].between(min_mean_wl, max_mean_wl)
+        & (s["distinct_ratio"] >= min_distinct)
+        & (s["alpha_word_ratio"] >= min_alpha_words)
+        & (s["stop_hits"] >= min_stop_hits)
+    )
+
+
 def lang_id(col: Column) -> Column:
     """Stopword-marker language ID. Deterministic tie-break by LANG_MARKERS
     order; 'und' when no marker hits at all."""

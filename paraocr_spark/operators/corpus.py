@@ -126,6 +126,78 @@ def stratified_sample(docs: DataFrame, quotas: dict, default_quota: int = 100,
     )
 
 
+def span_dedup(docs: DataFrame, w: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """C4-style corpus-wide duplicate-span removal (Raffel et al. 2020 §2.2
+    discard "all but one of any three-sentence span occurring more than
+    once" — re-expressed over fixed w-word tiles, the unit that exists in
+    arbitrary text).
+
+    Every doc is tiled into consecutive non-overlapping w-word windows; a
+    window is kept iff it is the globally FIRST occurrence of its text
+    (first = lexicographically least (doc_id, window_pos) — deterministic,
+    partitioning-independent). Docs are rebuilt from their kept windows in
+    order. Returns (doc_id, clean_text, n_windows, n_removed).
+
+    Scale shape: one explode -> one window-keyed aggregation computing the
+    global first occurrence (map-side partial min of a (doc_id, pos)
+    struct) -> join back -> one per-doc reassembly groupBy. The window
+    join is keyed on the xxhash64 of the window with the window STRING
+    verified in-join via min_by payload, so Zipfian-hot windows cost one
+    aggregation row each, never a bucket buffer.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_ws"),
+    )
+    n_win = F.ceil(F.size("_ws") / F.lit(w)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.concat_ws(" ", F.slice("_ws", i * w + 1, w)),
+    )
+    ex = (
+        d.where(F.size("_ws") > 0)
+        .select("id", F.posexplode(tiles).alias("pos", "win"))
+        .withColumn("hw", F.xxhash64("win"))
+    )
+    # global first occurrence per window: ONE agg with partial min of the
+    # (id, pos) struct; carrying min_by(win) lets the join verify the
+    # string against hash collisions without shuffling windows twice
+    first = ex.groupBy("hw").agg(
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+        F.min_by("win", F.struct("id", "pos")).alias("win_first"),
+    )
+    kept = (
+        ex.join(first, "hw")
+        .where(
+            (F.col("win") != F.col("win_first"))  # hash collision: keep
+            | ((F.col("id") == F.col("first_occ.id"))
+               & (F.col("pos") == F.col("first_occ.pos")))
+        )
+        .select("id", "pos", "win")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "win"))),
+                lambda s: s["win"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_windows",
+            (F.col("n_windows") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, term, tfidf, rank): per-document top-k terms by tf * ln(N/df).

@@ -312,5 +312,9 @@ def run_and_write(
         "rows": n,
         "wall_s": wall,
         "docs_per_sec": (n / wall if wall > 0 else 0.0),
+        # total Python-kernel seconds across all tasks (from the lineage
+        # rows already in hand) — lets scaling harnesses decompose "did the
+        # KERNEL scale" from wall-clock effects (fixed tails, host walls)
+        "kernel_cpu_s": sum(r.wall_time_s for r in lin_rows),
         "invocation_id": invocation_id,
     }

@@ -51,3 +51,69 @@ def test_tfidf_ranks_rare_terms_over_common(spark):
     r0 = {r.id: r.term for r in top.collect()}
     assert r0[0] == "rareword"  # df=1 beats the corpus-wide term
     # ubiquitous term has idf = ln(1) = 0 -> never ranks above a unique term
+
+
+def test_span_dedup_small_oracle(spark):
+    """C4-style duplicate-span removal: globally-first occurrence survives,
+    later duplicates drop, docs rebuild in order; python brute oracle."""
+    from paraocr_spark.operators.corpus import span_dedup
+
+    W = 3
+    rows = [
+        (0, "a b c d e f g h i"),          # tiles: abc, def, ghi
+        (1, "a b c x y z d e f"),          # abc + def duplicate doc0
+        (2, "x y z x y z x y z"),          # self-duplicates: keep first only
+        (3, "q r"),                        # short doc -> one 2-word tile
+        (4, "a b c"),                      # duplicate of doc0's first tile
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    def tiles(t):
+        ws = t.strip().split(" ")
+        return [" ".join(ws[i:i + W]) for i in range(0, len(ws), W)]
+
+    first = {}
+    for did, t in rows:
+        for pos, win in enumerate(tiles(t)):
+            first.setdefault(win, (did, pos))
+    expect = {}
+    for did, t in rows:
+        kept = [w for pos, w in enumerate(tiles(t)) if first[w] == (did, pos)]
+        n_win = len(tiles(t))
+        expect[did] = (" ".join(kept), n_win, n_win - len(kept))
+
+    got = {
+        r.id: (r.clean_text, r.n_windows, r.n_removed)
+        for r in span_dedup(docs, w=W).collect()
+    }
+    assert got == expect
+    assert got[1] == ("x y z", 3, 2)       # doc1 keeps only its novel tile
+    # doc2's every tile is "x y z", first seen at doc1 pos1 -> all drop
+    assert got[2] == ("", 3, 3)
+    assert got[4] == ("", 1, 1)            # fully-duplicate doc empties
+
+
+def test_gopher_signals_and_gate(spark):
+    """Gopher signal battery on crafted docs: repetition, word-length and
+    stopword rules each flip the gate."""
+    from pyspark.sql import functions as F
+
+    from paraocr_spark.functions.text import gopher_gate, gopher_signals
+
+    good = "the quick brown fox jumps over a lazy dog and runs on its way " * 5
+    repeat = "spam " * 80                   # distinct_ratio 1/80
+    longw = ("x" * 30 + " ") * 60           # mean word len 30
+    rows = [(0, good.strip()), (1, repeat.strip()), (2, longw.strip()), (3, "")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", gopher_signals(F.col("text")).alias("g")
+        ).select("doc_id", "g.*",
+                 gopher_gate(signals=F.col("g")).alias("p")).collect()
+    }
+    assert out[0].p is True and out[0].stop_hits >= 2
+    assert out[1].p is False and out[1].distinct_ratio == round(1 / 80, 4)
+    assert out[2].p is False and out[2].mean_word_len == 30.0
+    assert out[3].n_words == 0 and out[3].p is False
+    assert out[0].n_words == 70 and out[0].max_word_len == 5
