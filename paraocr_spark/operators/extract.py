@@ -114,18 +114,38 @@ def _extract_batch(pdf: pd.DataFrame, pid: int, backend_spec: str,
 
 
 def extract_kernel(df: DataFrame, backend: str = "default",
-                   backend_kwargs: dict | None = None) -> DataFrame:
+                   backend_kwargs: dict | None = None,
+                   lineage_acc=None) -> DataFrame:
     """mapInPandas wrapper. Input needs url/warc_ts/html/text/lang
     (+optional shard_id/n_shards from salt_pages). ``backend`` is a
     registry name or dotted module.Class path (backends.py); only the
-    strings travel in the closure — workers resolve them locally."""
+    strings travel in the closure — workers resolve them locally.
+
+    ``lineage_acc`` (a LineageAccParam accumulator) fuses the per-partition
+    lineage rollup into THIS action: each task sends one
+    {(stage, pid): (docs, bytes, kernel_wall)} update at completion, so the
+    caller gets lineage without a second read-back job over the written
+    table — the Amdahl fixed cost that capped 1x2->4x2 scaling (r4 ladder:
+    f≈27.5 s/run). Docs are counted on shard_id==0 rows only, so a salted
+    giant counts once (its reassembled output row), matching the read-back
+    rollup's row count exactly.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        t_docs = t_bytes = 0
+        t_wall = 0.0
         for b in batches:
             if len(b):
-                yield _extract_batch(b, pid, backend, backend_kwargs)
+                out = _extract_batch(b, pid, backend, backend_kwargs)
+                if lineage_acc is not None:
+                    t_docs += int((out["shard_id"].to_numpy() == 0).sum())
+                    t_bytes += int(out["_doc_bytes"].sum())
+                    t_wall += float(out["_wall_s"].sum())
+                yield out
+        if lineage_acc is not None and ctx is not None:
+            lineage_acc.add({(ctx.stageId(), pid): (t_docs, t_bytes, t_wall)})
 
     return df.mapInPandas(run, schema=_KERNEL_SCHEMA_DDL)
 
@@ -213,7 +233,8 @@ def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
 
 def extract_pages(pages: DataFrame, *, salt: bool = True,
                   backend: str = "default",
-                  backend_kwargs: dict | None = None) -> DataFrame:
+                  backend_kwargs: dict | None = None,
+                  lineage_acc=None) -> DataFrame:
     """Full extraction: optional skew salting -> kernel -> shard reassembly.
 
     Returns EXTRACTED_SCHEMA plus metric cols (_pid, _doc_bytes, _wall_s);
@@ -235,16 +256,15 @@ def extract_pages(pages: DataFrame, *, salt: bool = True,
         prepped = pages.select(
             *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
         )
-        return extract_kernel(prepped, backend, backend_kwargs).drop(
-            "shard_id", "n_shards"
-        )
+        return extract_kernel(prepped, backend, backend_kwargs,
+                              lineage_acc).drop("shard_id", "n_shards")
 
     normal, giant_pages = split_normal_giants(pages)
-    singles = extract_kernel(normal, backend, backend_kwargs).drop(
-        "shard_id", "n_shards"
-    )
+    singles = extract_kernel(normal, backend, backend_kwargs,
+                             lineage_acc).drop("shard_id", "n_shards")
     sharded = _merge_shards_relational(
-        extract_kernel(salt_pages(giant_pages), backend, backend_kwargs)
+        extract_kernel(salt_pages(giant_pages), backend, backend_kwargs,
+                       lineage_acc)
     )
     return singles.unionByName(sharded)
 

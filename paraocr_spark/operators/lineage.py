@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import json
 
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +21,58 @@ LINEAGE_SCHEMA_DDL = (
     "run_id string, partition_id int, doc_count long, bytes long, "
     "wall_time_s double, config_fp string, invocation_id string"
 )
+
+
+class LineageAccParam(AccumulatorParam):
+    """Replace-merge dict accumulator: {(stage_id, partition_id): (docs,
+    bytes, kernel_wall_s)}.
+
+    Each kernel task sends exactly ONE update (its whole-partition totals)
+    keyed by (stage_id, partition_id) — unique per task within a stage, and
+    STABLE across task retries / speculative attempts / stage resubmission
+    (retries keep the stage id). Merging by key replacement therefore makes
+    the rollup idempotent under every re-execution mode, sidestepping the
+    classic "accumulators in transformations double-count on retry" hazard:
+    a retried task overwrites its own earlier entry instead of adding to it.
+    """
+
+    def zero(self, value):  # noqa: D102 — AccumulatorParam contract
+        return {}
+
+    def addInPlace(self, a, b):  # noqa: D102
+        a.update(b)
+        return a
+
+
+def lineage_rows_from_acc(acc_value: dict, run_id: str, config_fp: str,
+                          invocation_id: str) -> list[dict]:
+    """Driver-side rollup of the kernel accumulator into lineage rows.
+
+    Sums the (stage, pid) entries by pid — the normal and giant kernel
+    branches run in different stages but may share partition ids, and the
+    lineage contract is one row per kernel partition (matching the
+    read-back rollup's groupBy(_pid))."""
+    by_pid: dict[int, list] = {}
+    for (_stage, pid), (docs, nbytes, wall) in acc_value.items():
+        if docs == 0 and nbytes == 0:
+            continue  # empty partition (e.g. a fully-resumed run): no row,
+            # matching the read-back rollup over zero written rows
+        cur = by_pid.setdefault(pid, [0, 0, 0.0])
+        cur[0] += docs
+        cur[1] += nbytes
+        cur[2] += wall
+    return [
+        {
+            "run_id": run_id,
+            "partition_id": pid,
+            "doc_count": c[0],
+            "bytes": c[1],
+            "wall_time_s": c[2],
+            "config_fp": config_fp,
+            "invocation_id": invocation_id,
+        }
+        for pid, c in sorted(by_pid.items())
+    ]
 
 
 def config_fingerprint(config: dict) -> str:

@@ -270,18 +270,33 @@ def run_and_write(
     todo = filter_unprocessed(pages, done, cfg.fingerprint)
     if cfg.min_partitions:
         todo = todo.repartition(cfg.min_partitions)
-    # ONE kernel pass, NO driver-side cache: write the kernel output
-    # (including the per-row metric columns) straight to the sink, then
-    # derive the lineage rollup and the row count from the WRITTEN table —
-    # a column-pruned parquet scan of three metric columns. Persisting the
-    # full corpus in executor memory would not survive 100 TB; re-deriving
-    # lineage from the logical plan would re-run the extraction.
+    # ONE kernel pass, ONE Spark job: the lineage rollup rides the write
+    # action itself via a replace-merge accumulator (each kernel task sends
+    # its partition totals once, idempotent under retries —
+    # operators/lineage.LineageAccParam), and the resulting handful of rows
+    # is appended to the lineage table from the driver with pyarrow. The
+    # previous shape (write job, then a read-back scan of the written table
+    # for the rollup, then a third job to write it) paid two extra
+    # scheduler/commit round-trips per run — the dominant share of the
+    # f≈27.5 s Amdahl fixed cost that capped 1x2->4x2 scaling in the r4
+    # ladder decomposition. The read-back path survives below for the
+    # shard-cache route, where reused shards never run the kernel this
+    # invocation and so never reach the accumulator.
+    from paraocr_spark.operators.lineage import (
+        LineageAccParam,
+        lineage_rows_from_acc,
+    )
+
+    use_cache_path = bool(cfg.shard_cache_path and cfg.salt)
+    acc = None if use_cache_path else spark.sparkContext.accumulator(
+        {}, LineageAccParam()
+    )
     t0 = time.perf_counter()  # before plan build: the shard-cache path is eager
     extracted_df = (
         extract_with_shard_cache(spark, todo, cfg)
-        if (cfg.shard_cache_path and cfg.salt)
+        if use_cache_path
         else extract_pages(todo, salt=cfg.salt, backend=cfg.backend,
-                           backend_kwargs=cfg.backend_kwargs)
+                           backend_kwargs=cfg.backend_kwargs, lineage_acc=acc)
     )
     out = (
         extracted_df
@@ -290,31 +305,40 @@ def run_and_write(
         .withColumn("invocation_id", F.lit(invocation_id))
     )
     pio.write_extracted(out, out_path, n_buckets=cfg.warc_buckets)
-    # this invocation's slice of the (append-mode) table: the run_id
-    # predicate prunes to this run's partition directories (write_extracted
-    # partitions by run_id/warc_bucket), and invocation_id — constant per
-    # file — lets parquet min/max stats skip earlier resumes' files without
-    # reading their pages. ONE action: the lineage rollup is tiny (a row
-    # per partition), so collect it, get the row count from it, and write
-    # it back from the driver — instead of separate count + lineage jobs.
-    written = pio.read_table(spark, out_path).where(
-        (F.col("run_id") == cfg.run_id)
-        & (F.col("invocation_id") == invocation_id)
-    )
-    lin = lineage_rollup(written, cfg.run_id, cfg.fingerprint, invocation_id)
-    lin_rows = lin.collect()
-    n = sum(r.doc_count for r in lin_rows)
-    pio.write_lineage(
-        spark.createDataFrame(lin_rows, schema=lin.schema), lineage_path
-    )
+    t_write = time.perf_counter() - t0
+    if acc is not None:
+        lin_rows = lineage_rows_from_acc(
+            acc.value, cfg.run_id, cfg.fingerprint, invocation_id
+        )
+    else:
+        # shard-cache invocations: reused shards carry their ORIGINAL
+        # metric columns in the written table, so the exact rollup needs
+        # the read-back scan. run_id prunes to this run's partition dirs;
+        # invocation_id (constant per file) lets parquet stats skip earlier
+        # resumes' files without reading their pages.
+        written = pio.read_table(spark, out_path).where(
+            (F.col("run_id") == cfg.run_id)
+            & (F.col("invocation_id") == invocation_id)
+        )
+        lin = lineage_rollup(written, cfg.run_id, cfg.fingerprint,
+                             invocation_id)
+        lin_rows = [r.asDict() for r in lin.collect()]
+    n = sum(r["doc_count"] for r in lin_rows)
+    pio.write_lineage_rows(lin_rows, lineage_path)
     wall = time.perf_counter() - t0
     return {
         "rows": n,
         "wall_s": wall,
         "docs_per_sec": (n / wall if wall > 0 else 0.0),
-        # total Python-kernel seconds across all tasks (from the lineage
-        # rows already in hand) — lets scaling harnesses decompose "did the
-        # KERNEL scale" from wall-clock effects (fixed tails, host walls)
-        "kernel_cpu_s": sum(r.wall_time_s for r in lin_rows),
+        # total Python-kernel seconds across all tasks — lets scaling
+        # harnesses decompose "did the KERNEL scale" from wall-clock
+        # effects (fixed tails, host walls)
+        "kernel_cpu_s": sum(r["wall_time_s"] for r in lin_rows),
         "invocation_id": invocation_id,
+        # phase decomposition: everything after the write action is
+        # per-run fixed cost — watch it stay negligible
+        "phase_s": {
+            "write_job": round(t_write, 3),
+            "lineage": round(wall - t_write, 3),
+        },
     }

@@ -99,6 +99,50 @@ def write_lineage(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_lineage_rows(rows: list, path: str) -> None:
+    """Append lineage rows (plain dicts, one per partition) to the lineage
+    table from the DRIVER via pyarrow — no Spark job.
+
+    The lineage payload is one row per kernel partition (tens to low
+    thousands of rows even at 100 TB — it scales with task count, not data),
+    so launching a distributed write job for it is pure fixed overhead: one
+    scheduler round-trip + commit protocol per run that the r4 ladder
+    decomposition showed capping N->4N scaling. A driver-local file append
+    with a unique name is the same durability contract as a one-task Spark
+    append (parquet dirs are just files; Spark reads the result
+    identically), minus the job. Falls back to nothing if rows is empty —
+    an empty append would only add a zero-row file."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    schema = pa.schema([
+        ("run_id", pa.string()),
+        ("partition_id", pa.int32()),
+        ("doc_count", pa.int64()),
+        ("bytes", pa.int64()),
+        ("wall_time_s", pa.float64()),
+        ("config_fp", pa.string()),
+        ("invocation_id", pa.string()),
+    ])
+    table = pa.Table.from_pylist(
+        [{k: (int(r[k]) if k == "partition_id" else r[k]) for k in
+          schema.names} for r in rows],
+        schema=schema,
+    )
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        table,
+        os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet"),
+        compression="snappy",
+    )
+
+
 def compact_table(spark: SparkSession, path: str,
                   target_file_mb: int = 256) -> dict:
     """Small-files compaction for the extracted table (maintenance op).
