@@ -299,16 +299,28 @@ def _q_streaming_extract(spark, sf_dir):
     from paraocr_spark.streaming.extract_stream import extract_stream
 
     pages = pages_from_documents(_docs(spark, sf_dir), "html")
-    # deterministic workdir, wiped on entry: the returned DataFrame reads
-    # the written table lazily, so it can't be deleted before the caller
-    # collects — instead each invocation reuses (and first clears) one
-    # fixed dir per SF, bounding residue to a single run's output instead
-    # of leaking a mkdtemp per gate/bench execution
-    work = os.path.join(
+    # per-invocation workdir under one fixed parent, with stale-sibling GC
+    # (ADVICE r4): a single wiped-on-entry dir made two concurrent harness
+    # invocations rmtree each other's in-flight stream state; a leaked
+    # mkdtemp was concurrency-safe but unbounded. Unique suffix = safe under
+    # concurrency; deleting only siblings older than 2h bounds residue.
+    import time as _time
+    import uuid as _uuid
+
+    parent = os.path.join(
         tempfile.gettempdir(), "paraocr_stream_entry",
         sf_dir.strip("/").replace("/", "_"),
     )
-    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    cutoff = _time.time() - 2 * 3600
+    for sib in os.listdir(parent):
+        sp = os.path.join(parent, sib)
+        try:
+            if os.path.getmtime(sp) < cutoff:
+                shutil.rmtree(sp, ignore_errors=True)
+        except OSError:
+            pass  # sibling vanished mid-scan (concurrent GC): fine
+    work = os.path.join(parent, _uuid.uuid4().hex[:12])
     os.makedirs(work, exist_ok=True)
     src = os.path.join(work, "pages")
     pages.write.mode("overwrite").parquet(src)
@@ -713,6 +725,7 @@ def _bpe_oracle_sql() -> str:
     out-of-fixture words are counted with real encode_word semantics, not a
     guess); any token still missing hits a 10^9 sentinel — a LOUD mismatch,
     never a silent divergence."""
+    import os
     from importlib import resources
 
     from paraocr_spark.functions.bpe import encode_word
@@ -731,17 +744,19 @@ def _bpe_oracle_sql() -> str:
         # local test SFs, so the map is exact wherever the oracle runs
         dirs = {_oracle_sf_dir(), "/root/testdata/sf0.001", "/root/testdata/sf0.01"}
         for d in sorted(dirs):
-            try:
-                rows = con.sql(
-                    "select distinct unnest(regexp_extract_all(lower(text), "
-                    f"'[a-z0-9]+')) from read_parquet('{d}/documents.parquet')"
-                ).fetchall()
-                vocab.update(r[0] for r in rows)
-            except Exception:
-                pass  # that SF's testdata absent: others still cover
+            if not os.path.exists(os.path.join(d, "documents.parquet")):
+                continue  # that SF's testdata absent: others still cover
+            # present-but-unreadable parquet must PROPAGATE (ADVICE r4): a
+            # silently skipped dir yields an incomplete vocab and a wrong
+            # oracle that surfaces later as a confusing gate mismatch
+            rows = con.sql(
+                "select distinct unnest(regexp_extract_all(lower(text), "
+                f"'[a-z0-9]+')) from read_parquet('{d}/documents.parquet')"
+            ).fetchall()
+            vocab.update(r[0] for r in rows)
         con.close()
-    except Exception:
-        pass  # no local testdata: fixture vocab only
+    except ImportError:
+        pass  # no duckdb: fixture vocab only (sentinel still catches gaps)
     words = sorted(vocab)
     keys = ",".join(f"'{w}'" for w in words)
     vals = ",".join(str(len(encode_word(w))) for w in words)
@@ -1094,7 +1109,7 @@ with base as (
     case when hw then list_max(list_transform(ws, w -> length(w))) else 0 end as max_word_len,
     case when hw then round(len(list_distinct(ws))::double / len(ws), 4) else 0.0 end as distinct_ratio,
     case when hw then round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::double / len(ws), 4) else 0.0 end as alpha_word_ratio,
-    case when hw then len(list_filter(ws, w -> list_contains([{stop_list}], lower(w)))) else 0 end as stop_hits
+    case when hw then len(list_distinct(list_filter(list_transform(ws, w -> lower(w)), w -> list_contains([{stop_list}], w)))) else 0 end as stop_hits
   from base
 )
 select doc_id, n_words, mean_word_len, max_word_len, distinct_ratio,

@@ -96,8 +96,11 @@ def gopher_signals(col: Column) -> Column:
                          Gopher's duplicate-line fraction generalized to
                          the unit arbitrary text always has), 4dp
       alpha_word_ratio   words containing >= 1 [A-Za-z], 4dp
-      stop_hits          occurrences of a small English stop set (Gopher
-                         requires >= 2 distinct stop words)
+      stop_hits          DISTINCT stop words present from a small English
+                         stop set — the published Gopher rule ("contains at
+                         least two of a set of stop words"), so 'the the'
+                         counts once (ADVICE r4: occurrence counting
+                         over-passed repetitive docs)
     """
     ws = F.split(F.trim(col), "\\s+")
     n = F.size(ws)
@@ -105,7 +108,9 @@ def gopher_signals(col: Column) -> Column:
     tot_len = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
     alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
     stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stops, F.lower(w))))
+    stop_hits = F.size(F.array_distinct(
+        F.filter(F.transform(ws, F.lower), lambda w: F.array_contains(stops, w))
+    ))
     return F.struct(
         F.when(has_words, n).otherwise(F.lit(0)).alias("n_words"),
         F.when(has_words, F.round(tot_len / n, 4)).otherwise(F.lit(0.0)).alias("mean_word_len"),

@@ -48,7 +48,8 @@ def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFra
 
 
 def decontaminate(train: DataFrame, test: DataFrame, n: int = 8,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_max_hashes: int = 50_000_000) -> DataFrame:
     """(test_id, n_hits, n_train_docs): test documents sharing >= 1 word
     n-gram with any training document (self-pairs excluded, so a benchmark
     row that also exists verbatim in train still reports its copies).
@@ -69,6 +70,19 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 8,
     (shuffle-as-cache) so the hash-join runs once, not once per consumer.
     n_hits = distinct shared grams, n_train_docs = distinct contaminating
     train docs — identical semantics (and oracle) to a raw string join.
+
+    Broadcast guard (ADVICE r4): the candidate-hash broadcast assumes
+    contamination-sized candidates, but a split LEAK (test ⊂ train) makes
+    cand_h scale with total test grams and a forced broadcast can OOM the
+    driver. Candidate hashes are a subset of the distinct TEST gram hashes,
+    so one cheap test-side-only count (never re-executes the expensive
+    candidate join) bounds the broadcast: a one-scan shuffle-free word
+    count of the test side upper-bounds its gram count; above
+    ``broadcast_max_hashes`` (default ~50M longs ≈ 400 MB, sized for a
+    multi-GB driver) the verify semi-join degrades gracefully to a shuffled
+    left_semi — more shuffle bytes, no driver risk. NOTE the probe runs one
+    small job at plan-build time; pass ``broadcast_max_hashes=0`` to force
+    the shuffled path with no probe.
     """
     tr_h = _word_ngrams(train, n, id_col, text_col).select(
         F.col("id").alias("train_id"), F.xxhash64("gram").alias("h")
@@ -83,13 +97,22 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 8,
         .repartition(F.col("h"))  # shuffle-as-cache: candidate-sized
     )
     # candidate hashes are small (contamination-sized) -> broadcast them and
-    # prune the verify-side explode before its strings reach any shuffle
+    # prune the verify-side explode before its strings reach any shuffle;
+    # guarded by the test-side word-count upper bound (see docstring)
     cand_h = cand.select("h").distinct()
+    if broadcast_max_hashes > 0:
+        bound = test.select(
+            F.sum(F.size(F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_TOKS), F.lit(0)
+            ))).alias("n")
+        ).first()["n"] or 0
+        if bound <= broadcast_max_hashes:
+            cand_h = F.broadcast(cand_h)
     tr_verify = (
         _word_ngrams(train, n, id_col, text_col)
         .select(F.col("id").alias("train_id"), F.col("gram").alias("g_tr"),
                 F.xxhash64("gram").alias("h"))
-        .join(F.broadcast(cand_h), "h", "left_semi")
+        .join(cand_h, "h", "left_semi")
     )
     hits = (
         cand.join(tr_verify, ["h", "train_id"])
@@ -141,10 +164,15 @@ def span_dedup(docs: DataFrame, w: int = 5, id_col: str = "doc_id",
 
     Scale shape: one explode -> one window-keyed aggregation computing the
     global first occurrence (map-side partial min of a (doc_id, pos)
-    struct) -> join back -> one per-doc reassembly groupBy. The window
-    join is keyed on the xxhash64 of the window with the window STRING
-    verified in-join via min_by payload, so Zipfian-hot windows cost one
-    aggregation row each, never a bucket buffer.
+    struct) -> join back -> one per-doc reassembly groupBy. The
+    aggregation/join key is (xxhash64(win), win): the hash leads so
+    shuffle partitioning and sort comparisons run on 8 bytes, while the
+    string in the key makes collision handling EXACT — two distinct
+    windows sharing a hash dedupe independently, byte-identical to an
+    oracle partitioning on the window string (ADVICE r4: the previous
+    hash-only key with in-join string verify kept every occurrence of the
+    colliding window). Zipfian-hot windows still cost one aggregation row
+    each (map-side partial min), never a bucket buffer.
     """
     d = docs.select(
         F.col(id_col).alias("id"),
@@ -161,18 +189,16 @@ def span_dedup(docs: DataFrame, w: int = 5, id_col: str = "doc_id",
         .withColumn("hw", F.xxhash64("win"))
     )
     # global first occurrence per window: ONE agg with partial min of the
-    # (id, pos) struct; carrying min_by(win) lets the join verify the
-    # string against hash collisions without shuffling windows twice
-    first = ex.groupBy("hw").agg(
+    # (id, pos) struct, keyed by (hash, string) — exact under collisions,
+    # same shuffle bytes as a hash-only key carrying a min_by(win) payload
+    first = ex.groupBy("hw", "win").agg(
         F.min(F.struct("id", "pos")).alias("first_occ"),
-        F.min_by("win", F.struct("id", "pos")).alias("win_first"),
     )
     kept = (
-        ex.join(first, "hw")
+        ex.join(first, ["hw", "win"])
         .where(
-            (F.col("win") != F.col("win_first"))  # hash collision: keep
-            | ((F.col("id") == F.col("first_occ.id"))
-               & (F.col("pos") == F.col("first_occ.pos")))
+            (F.col("id") == F.col("first_occ.id"))
+            & (F.col("pos") == F.col("first_occ.pos"))
         )
         .select("id", "pos", "win")
     )
