@@ -233,10 +233,21 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_neardup_embedding(spark, sf_dir):
-    from paraocr_spark.operators.similarity import neardup_pairs
+    """Size-routed near-dup (VERDICT r4 #5): exact blocked matmul at the
+    test SFs (500-2k vectors), LSH-prefiltered above _NEARDUP_EXACT_MAX.
+    The oracle generator mirrors the SAME row-count decision, so the two
+    stay in lockstep at any SF."""
+    from paraocr_spark.operators.similarity import neardup_pairs_auto
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return neardup_pairs(emb, threshold=0.4)
+    return neardup_pairs_auto(emb, threshold=0.4,
+                              exact_max_rows=_NEARDUP_EXACT_MAX)
+
+
+#: env-overridable so tests can force the LSH route at tiny SFs
+_NEARDUP_EXACT_MAX = int(
+    __import__("os").environ.get("PARAOCR_NEARDUP_EXACT_MAX", "100000")
+)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -854,6 +865,29 @@ where round(list_cosine_similarity(va.e, vb.e), 4) >= {threshold}
     )
 
 
+def _neardup_auto_oracle_sql(threshold: float) -> str:
+    """Twin of neardup_pairs_auto's routing: count the gate SF's embeddings
+    (same probe the Spark side runs) and emit the SQL of whichever path the
+    operator will take — exact all-pairs under _NEARDUP_EXACT_MAX, the LSH
+    twin above it."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"select count(*) from read_parquet('{_oracle_sf_dir()}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.close()
+    if n <= _NEARDUP_EXACT_MAX:
+        return (
+            "select a.vec_id as a, b.vec_id as b, "
+            "round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) as cosine "
+            "from embeddings a join embeddings b on a.vec_id < b.vec_id "
+            "where round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) "
+            f">= {threshold}"
+        )
+    return _neardup_lsh_oracle_sql(threshold)
+
+
 def _ivf_recall_oracle_sql(k: int = 5, n_queries: int = 20,
                            n_probe: int = 4) -> str:
     """DuckDB twin of ann_topk_ivf_recall: the deterministic centroids are
@@ -1041,12 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _shingles_sql(0.5),
         "dedup_minhash_lsh": _shingles_sql(0.9),
         "dedup_simhash": _simhash_oracle_sql(max_hamming=3, nbits=60),
-        "neardup_embedding": (
-            "select a.vec_id as a, b.vec_id as b, "
-            "round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) as cosine "
-            "from embeddings a join embeddings b on a.vec_id < b.vec_id "
-            "where round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) >= 0.4"
-        ),
+        "neardup_embedding": _neardup_auto_oracle_sql(threshold=0.4),
         "ann_topk": (
             "select q.vec_id as q, n.vec_id as nb, "
             "round(list_cosine_similarity(q.embedding::double[], n.embedding::double[]), 4) as cosine, "

@@ -9,8 +9,9 @@ numbers remain reproducible via BENCH_DOCS=20000):
     ``run_and_write`` over BENCH_DOCS synthetic pages (pages parquet is
     materialized UNTIMED first) with ``PipelineConfig(run_id="bench")``
     defaults — covers resume anti-join (no-op), salting, kernel, shard
-    reassembly, the (run_id, warc_bucket=64) partitioned output write, the
-    lineage read-back + write. docs_per_sec = rows / that wall. At 20k
+    reassembly, the (run_id, warc_bucket=64) partitioned output write, and
+    the accumulator-fused lineage append (round 5: the former read-back +
+    write jobs are gone). docs_per_sec = rows / that wall. At 20k
     docs ~8-10 s of FIXED machinery dominated, so the headline moved with
     scheduling noise (+-15% run-to-run); at 100k the fixed share is
     amortized and docs_per_sec reproduces to +-3% (measured r4:
@@ -36,9 +37,17 @@ Prints ONE JSON line:
   {"metric": "...", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., ...}
 
+TRIAL HYGIENE (round 5 — VERDICT r4 #4): every timed section runs
+BENCH_TRIALS times (default 3) and reports the MIN (host noise on this
+shared-kernel sandbox is strictly additive — see BENCH/BASELINE.md
+forensics — so min estimates true capacity); medians ride along in
+``queries_median`` so a reader can judge spread. Round <=4 numbers were
+single trials.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_DOCS (default 100000) synthetic extraction corpus size.
+     BENCH_DOCS (default 100000) synthetic extraction corpus size,
+     BENCH_TRIALS (default 3) trials per timed section.
 """
 
 from __future__ import annotations
@@ -55,6 +64,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+
+
+def _median(vals: list) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
 
 
 def main() -> int:
@@ -86,28 +102,42 @@ def main() -> int:
         pages_df(spark, N_DOCS, CPUS * 2).write.mode("overwrite").parquet(pages_path)
 
         pages = spark.read.parquet(pages_path)
-        t0 = time.perf_counter()
-        metrics = run_and_write(
-            spark, pages,
-            os.path.join(workdir, "extracted"),
-            os.path.join(workdir, "lineage"),
-            PipelineConfig(run_id="bench"),
-        )
-        extract_wall = time.perf_counter() - t0
-        kernel_cpu = (
-            spark.read.parquet(os.path.join(workdir, "lineage"))
-            .agg({"wall_time_s": "sum"}).collect()[0][0]
-        )
+        ex_walls, ex_metrics = [], []
+        for trial in range(TRIALS):
+            tdir = os.path.join(workdir, f"t{trial}")
+            t0 = time.perf_counter()
+            m = run_and_write(
+                spark, pages,
+                os.path.join(tdir, "extracted"),
+                os.path.join(tdir, "lineage"),
+                PipelineConfig(run_id="bench"),
+            )
+            ex_walls.append(time.perf_counter() - t0)
+            ex_metrics.append(m)
+            shutil.rmtree(tdir, ignore_errors=True)  # bound disk across trials
+        best_i = min(range(TRIALS), key=lambda i: ex_walls[i])
+        extract_wall = ex_walls[best_i]
+        metrics = ex_metrics[best_i]
+        kernel_cpu = metrics["kernel_cpu_s"]
 
         # ---- per-query timings at SF_DIR ---------------------------------
         qtimes: dict[str, float] = {}
+        qmedian: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
-            t0 = time.perf_counter()
-            try:
-                fn(spark, SF_DIR).count()
-                qtimes[name] = round(time.perf_counter() - t0, 3)
-            except Exception:
-                qtimes[name] = -1.0
+            walls = []
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, SF_DIR).count()
+                    walls.append(time.perf_counter() - t0)
+                except Exception:
+                    walls.append(-1.0)
+                    break
+            if any(w < 0 for w in walls):
+                qtimes[name] = qmedian[name] = -1.0
+            else:
+                qtimes[name] = round(min(walls), 3)
+                qmedian[name] = round(_median(walls), 3)
 
         total = round(extract_wall + sum(v for v in qtimes.values() if v > 0), 3)
         out = {
@@ -115,10 +145,17 @@ def main() -> int:
             "value": total,
             "unit": "sec",
             "queries": {"extract_synthetic": round(extract_wall, 3), **qtimes},
+            "queries_median": {
+                "extract_synthetic": round(_median(ex_walls), 3), **qmedian
+            },
+            "trials": TRIALS,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "bench_docs": N_DOCS,
             "cpus": CPUS,
             "docs_per_sec": round(metrics["docs_per_sec"], 2),
+            "docs_per_sec_trials": [
+                round(m["docs_per_sec"], 2) for m in ex_metrics
+            ],
             "extract_rows": metrics["rows"],
             "kernel_cpu_sec": round(kernel_cpu or 0.0, 3),
         }

@@ -475,3 +475,25 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float,
         .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def neardup_pairs_auto(emb: DataFrame, threshold: float,
+                       exact_max_rows: int = 100_000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs with size-based routing (VERDICT r4 #5).
+
+    Small corpora (<= ``exact_max_rows``, where the blocked matmul's
+    O(blocks^2) block-pair join is cheap and recall must be 1.0 — e.g. as
+    the oracle for the approximate path) take the EXACT ``neardup_pairs``;
+    anything larger routes through ``neardup_pairs_lsh``, whose keyed
+    (table, bucket) self-join never forms a quadratic plan. One count-star
+    probe (parquet metadata only when the source is a plain scan) decides —
+    the same decision an engine's cost-based optimizer would make from
+    table stats, made explicit because recall differs between paths and
+    silence would hide it. Output schema is identical: (a, b, cosine).
+    """
+    n = emb.count()
+    if n <= exact_max_rows:
+        return neardup_pairs(emb, threshold, id_col, vec_col)
+    return neardup_pairs_lsh(emb, threshold, id_col=id_col, vec_col=vec_col)

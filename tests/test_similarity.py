@@ -101,3 +101,33 @@ def test_ann_ivf_structure_and_exact_rerank(spark, emb, vecs):
     assigned, C = ivf_assign(emb, n_centroids=8)
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_neardup_auto_routing(spark, emb):
+    """neardup_pairs_auto (VERDICT r4 #5): exact path under the row cap,
+    LSH path above it — and the big-N route must never form a quadratic
+    (block-pair / nested-loop / cartesian) join."""
+    n = emb.count()
+    # small corpus: byte-identical to the exact operator
+    exact = {(r.a, r.b, r.cosine) for r in
+             similarity.neardup_pairs(emb, threshold=0.35).collect()}
+    auto_small = {(r.a, r.b, r.cosine) for r in
+                  similarity.neardup_pairs_auto(
+                      emb, threshold=0.35, exact_max_rows=n).collect()}
+    assert auto_small == exact
+    # force the big-N route: identical to the LSH operator, sane plan
+    import contextlib
+    import io
+
+    big = similarity.neardup_pairs_auto(emb, threshold=0.35,
+                                        exact_max_rows=n - 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        big.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    lsh = {(r.a, r.b, r.cosine) for r in
+           similarity.neardup_pairs_lsh(emb, threshold=0.35).collect()}
+    assert {(r.a, r.b, r.cosine) for r in big.collect()} == lsh
+    # LSH candidates are a subset of the exact pairs (verify step is exact)
+    assert {(a, b) for a, b, _ in lsh} <= {(a, b) for a, b, _ in exact}
