@@ -455,6 +455,31 @@ def _q_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_media_stats(spark, sf_dir):
+    """Multimodal lane rollup (VERDICT r4 #2): deterministic synthetic media
+    derived from doc_id -> header decode (with_media_meta) -> frame decode +
+    mean-pixel feature (mean_pixel_features, errors in-band) -> per
+    (kind, valid) rollup. One linear chain of three Arrow kernels, no
+    diamond; the DuckDB twin predicts every value from the id rules in
+    multimodal.synthetic_media."""
+    from paraocr_spark import multimodal as mm
+
+    media = mm.synthetic_media(_docs(spark, sf_dir).select("doc_id"))
+    feats = mm.mean_pixel_features(mm.with_media_meta(media))
+    return (
+        feats.groupBy(
+            F.col("meta.kind").alias("kind"), F.col("meta.valid").alias("valid")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("meta.bytes").alias("total_bytes"),
+            F.round(F.coalesce(F.sum("mean_pixel"), F.lit(0.0)), 4).alias("sum_mean_pixel"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.coalesce(F.round(F.avg("mean_pixel"), 4), F.lit(-1.0)).alias("avg_mean_pixel"),
+        )
+    )
+
+
 def _q_span_dedup(spark, sf_dir):
     """C4-style corpus-wide duplicate-span removal over 5-word tiles:
     every span occurring more than once survives only at its globally
@@ -566,6 +591,7 @@ _RAW_QUERIES = {
     "tfidf_top_terms": _q_tfidf_top_terms,
     "gopher_quality": _q_gopher_quality,
     "span_dedup": _q_span_dedup,
+    "media_stats": _q_media_stats,
         "lang_id": _q_lang_id,
     "lang_id_ngram": _q_lang_id_ngram,
         "doc_stats": _q_doc_stats,
@@ -1147,6 +1173,27 @@ select doc_id, n_words, mean_word_len, max_word_len, distinct_ratio,
         and distinct_ratio >= 0.2 and alpha_word_ratio >= 0.8
         and stop_hits >= 2) as pass_gate
 from sig
+""",
+        "media_stats": """
+with g as (
+  select doc_id as id, 4 + doc_id % 8 as w, 3 + doc_id % 5 as h, 3 as c
+  from documents
+), r as (
+  select id,
+    case when id % 13 = 0 then 'unknown' else 'image' end as kind,
+    id % 13 <> 0 as valid,
+    case when id % 13 = 0 then 4 + id % 7
+         when id % 17 = 0 then 11 + (w*h*c) // 2
+         else 11 + w*h*c end as bytes,
+    case when id % 13 = 0 or id % 17 = 0 then null
+         else (id % 256)::double end as mean_pixel
+  from g
+)
+select kind, valid, count(*)::bigint as n_media, sum(bytes)::bigint as total_bytes,
+       round(coalesce(sum(mean_pixel), 0.0), 4) as sum_mean_pixel,
+       sum(case when mean_pixel is null then 1 else 0 end)::bigint as n_errors,
+       coalesce(round(avg(mean_pixel), 4), -1.0) as avg_mean_pixel
+from r group by kind, valid
 """,
         "span_dedup": """
 with d as (

@@ -128,8 +128,16 @@ def mean_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFram
     """Per-media mean pixel value of frame 0 — the feature-extraction stub.
 
     Real feature extractors (CLIP embeddings, mel spectrograms) drop into
-    the same batch loop; errors stay in-band like the text kernel.
+    the same batch loop; errors stay in-band like the text kernel. Every
+    input column except the payload passes through, so a decode -> meta ->
+    feature chain stays ONE linear plan (no diamond re-reading the payload
+    source per derived column).
     """
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != payload_col
+    ) + ", mean_pixel double, error string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -144,8 +152,54 @@ def mean_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFram
                 except (NotImplementedError, ValueError) as e:
                     means.append(None)
                     errs.append(str(e))
-            yield pd.DataFrame({
-                "media_id": b["media_id"], "mean_pixel": means, "error": errs,
-            })
+            out = b[keep].copy()
+            out["mean_pixel"] = means
+            out["error"] = errs
+            yield out
 
-    return df.mapInPandas(run, schema="media_id long, mean_pixel double, error string")
+    return df.mapInPandas(run, schema=schema)
+
+
+#: deterministic corruption rules for the synthetic media table — shared by
+#: the Spark generator and the DuckDB oracle (both are pure functions of id)
+CORRUPT_MOD = 13
+TRUNC_MOD = 17
+
+
+def synthetic_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (media_id, payload) table derived from an id column.
+
+    Purpose: give the multimodal lane a driver-board oracle without external
+    media files. Every payload is a pure function of the id, so an engine
+    with no codec at all (the DuckDB twin) can predict meta and features:
+
+      id % 13 == 0                 corrupt: b"JUNK" + (id % 7) zero bytes
+      id % 17 == 0 (not corrupt)   valid header, frame truncated to half
+      otherwise                    full synthetic image, fill = id % 256,
+                                   w = 4 + id % 8, h = 3 + id % 5, c = 3
+
+    Runs in the same mapInPandas batch shape as real media ingestion.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            payloads = []
+            ids = b[id_col].astype("int64")
+            for i in ids:
+                i = int(i)
+                if i % CORRUPT_MOD == 0:
+                    payloads.append(b"JUNK" + bytes(i % 7))
+                    continue
+                w, h, c = 4 + i % 8, 3 + i % 5, 3
+                full = encode_image(w, h, c, 1, fill=i % 256)
+                if i % TRUNC_MOD == 0:
+                    payloads.append(full[: 11 + (w * h * c) // 2])
+                else:
+                    payloads.append(full)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return ids_df.select(id_col).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
