@@ -20,6 +20,8 @@ All pure pyspark.sql built-ins (no Python UDFs) so Catalyst sees every plan:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -222,6 +224,82 @@ def span_dedup(docs: DataFrame, w: int = 5, id_col: str = "doc_id",
             (F.col("n_windows") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+@contextmanager
+def clean_corpus(docs: DataFrame, *, w: int = 5, threshold: float = 0.9,
+                 quotas: dict | None = None, default_quota: int = 100,
+                 denom: int = 1000, id_col: str = "doc_id",
+                 text_col: str = "text", strat_col: str = "lang"):
+    """The composed corpus-cleaning pipeline a pre-training data job runs
+    end to end: Gopher quality gate -> C4 span dedup -> MinHash near-dup
+    drop -> deterministic stratified sample. Yields one summary row per
+    surviving document:
+
+        (doc_id, lang, n_windows, n_removed, clean_len, fp)
+
+    where fp = md5(clean_text) pins the exact post-dedup bytes without
+    shipping the text. Near-dup drop keeps the LOWEST id of every pair
+    (drop b where a < b) — deterministic and partitioning-independent.
+
+    Context manager because the efficient plan persists two intermediates
+    (the gated/extracted docs, consumed by span_dedup's three-way DAG and
+    the lang join; the span-deduped docs, consumed by minhash's shingle
+    table and the final join): run the action INSIDE the scope — at
+    production scale that action is the sink write — and the storage is
+    always released on exit (the r2 CacheManager-leak rule). DISK_ONLY so
+    a 100 TB corpus never competes with execution memory.
+
+    Stage order is the published lineage (quality filter before dedup, as
+    in Gopher/RefinedWeb): the gate shrinks the expensive global-dedup
+    input by ~half, and span dedup runs before doc-level near-dup so
+    boilerplate spans can't mask true near-duplicates.
+    """
+    from pyspark import StorageLevel
+
+    from paraocr_spark.functions.text import gopher_gate
+    from paraocr_spark.operators.dedup import dedup_minhash_lsh, shingle_cache
+
+    gated = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(strat_col).alias("lang"),
+            F.col(text_col).alias("text"),
+        )
+        .where(F.col("text").isNotNull() & gopher_gate(F.col("text")))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    cleaned = span_dedup(gated, w=w, id_col="id", text_col="text").persist(
+        StorageLevel.DISK_ONLY
+    )
+    try:
+        with shingle_cache(cleaned, id_col="id", text_col="clean_text") as sh:
+            pairs = dedup_minhash_lsh(
+                cleaned, threshold=threshold, id_col="id",
+                text_col="clean_text", sh=sh,
+            )
+            dupes = pairs.select(F.col("b").alias("id")).distinct()
+            survivors = cleaned.join(dupes, "id", "left_anti").join(
+                gated.select("id", "lang"), "id"
+            )
+            kept = stratified_sample(
+                survivors, quotas=quotas or {}, default_quota=default_quota,
+                denom=denom, id_col="id", strat_col="lang",
+            )
+            yield (
+                survivors.join(kept.select("id"), "id", "left_semi")
+                .select(
+                    F.col("id").alias("doc_id"),
+                    "lang",
+                    "n_windows",
+                    "n_removed",
+                    F.length("clean_text").cast("long").alias("clean_len"),
+                    F.md5(F.col("clean_text").cast("binary")).alias("fp"),
+                )
+            )
+    finally:
+        cleaned.unpersist()
+        gated.unpersist()
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",

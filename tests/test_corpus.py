@@ -117,3 +117,56 @@ def test_gopher_signals_and_gate(spark):
     assert out[2].p is False and out[2].mean_word_len == 30.0
     assert out[3].n_words == 0 and out[3].p is False
     assert out[0].n_words == 70 and out[0].max_word_len == 5
+
+
+def test_clean_corpus_end_to_end(spark):
+    """Composed pipeline: gate -> span dedup -> minhash drop -> sample.
+
+    Planted corpus: a good doc (A), an exact duplicate of it (span dedup
+    empties it but it survives as a shell row), a one-word-shifted near-dup
+    (tiles all differ so span dedup keeps it, but shingle jaccard ~0.98 so
+    the minhash stage drops it), a junk doc (fails the gate), and an
+    unrelated good doc."""
+    from paraocr_spark.operators.corpus import clean_corpus
+
+    base = "the of " + " ".join(f"word{i:02d}" for i in range(58))  # 60 words
+    other = "the of " + " ".join(f"plum{i:02d}" for i in range(53))  # 55 words
+    rows = [
+        (10, "en", base),             # A: keeps everything
+        (20, "en", base),             # exact dup: emptied by span dedup
+        (30, "en", "extra " + base),  # near-dup: dropped by minhash stage
+        (40, "en", "too short"),      # fails the gate
+        (50, "fr", other),            # unrelated survivor
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, lang string, text string")
+
+    with clean_corpus(docs, w=5, threshold=0.9, default_quota=1000) as q:
+        got = {r.doc_id: r for r in q.collect()}
+
+    assert set(got) == {10, 20, 50}
+    assert got[10].n_windows == 12 and got[10].n_removed == 0
+    assert got[10].clean_len == len(base)
+    # the exact dup's every tile first occurred in doc 10 -> empty shell
+    assert got[20].n_windows == 12 and got[20].n_removed == 12
+    assert got[20].clean_len == 0
+    assert got[50].n_removed == 0 and got[50].lang == "fr"
+
+    # quota 0 filters everything; the sample stage is live in the chain
+    with clean_corpus(docs, w=5, threshold=0.9, default_quota=0) as q:
+        assert q.count() == 0
+
+
+def test_clean_corpus_releases_storage(spark):
+    """The scoped persists (gated, cleaned, shingles) must all be released
+    on scope exit — the r2 CacheManager-leak rule."""
+    from paraocr_spark.operators.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en", "the of " + " ".join(f"w{i}x{j}" for j in range(58)))
+         for i in range(8)],
+        schema="doc_id long, lang string, text string",
+    )
+    with clean_corpus(docs, default_quota=1000) as q:
+        assert q.count() == 8
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0

@@ -228,3 +228,32 @@ def test_decontaminate_train_strings_stay_out_of_big_shuffle(spark, docs):
         "train gram strings must ride exactly the (candidate-semi-filtered) "
         "verify-side exchange: " + repr(gramful)
     )
+
+
+def test_clean_corpus_input_computed_once(spark):
+    """The composed clean_corpus pipeline has FOUR consumers of the
+    gated/extracted input (span_dedup's explode/totals, the lang join, the
+    shingle table). Without the scoped persist each would re-run the
+    upstream extraction kernel — at 100 TB that is 4x the dominant cost.
+    An accumulator counts how many times each input row is actually
+    computed: must be exactly once."""
+    from pyspark.sql import functions as F
+
+    from paraocr_spark.operators.corpus import clean_corpus
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    docs = spark.createDataFrame(
+        [(i, "en", "the of " + " ".join(f"w{i}x{j}" for j in range(58)))
+         for i in range(16)],
+        schema="doc_id long, lang string, text string",
+    ).mapInPandas(count_rows, schema="doc_id long, lang string, text string")
+
+    with clean_corpus(docs, default_quota=1000) as q:
+        assert q.count() == 16
+    assert acc.value == 16
