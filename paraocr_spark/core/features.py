@@ -215,8 +215,153 @@ def compute_features(text: str | None) -> dict:
     }
 
 
+# numpy mirror of _RK_POWERS (B^i mod P as uint64), grown lazily
+_RK_POW_NP = np.array([1], dtype=np.uint64)
+_SH64 = np.arange(64, dtype=np.uint64)
+_ZERO_FEATURES = {"n_chars": 0, "n_tokens": 0, "alpha_ratio": 0.0,
+                  "stop_ratio": 0.0, "lang_pred": "und", "simhash": 0,
+                  "rolling_hash": 0}
+
+
+def _rk_powers_np(n: int) -> np.ndarray:
+    global _RK_POW_NP
+    if len(_RK_POW_NP) < n:
+        powers = _RK_POWERS
+        while len(powers) < n:
+            powers.append((powers[-1] * _RK_B) % _RK_P)
+        _RK_POW_NP = np.array(powers, dtype=np.uint64)
+    return _RK_POW_NP
+
+
+def _modmul61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a * b) mod (2^61 - 1) on uint64, exact for a, b < P.
+
+    Schoolbook 31-bit split; 2^61 ≡ 1 (mod P) folds every partial product
+    back under 64 bits — the standard Mersenne-prime modmul, vectorized.
+    """
+    m31 = np.uint64((1 << 31) - 1)
+    p = np.uint64(_RK_P)
+    a_hi, a_lo = a >> np.uint64(31), a & m31
+    b_hi, b_lo = b >> np.uint64(31), b & m31
+    hh = a_hi * b_hi                                    # < 2^60
+    mid = a_hi * b_lo + a_lo * b_hi                     # < 2^62
+    ll = a_lo * b_lo                                    # < 2^62
+    # a*b = hh*2^62 + mid*2^31 + ll;  2^62 ≡ 2, mid*2^31 folded via 2^61 ≡ 1
+    t = ((hh << np.uint64(1)) + (mid >> np.uint64(30))
+         + ((mid & np.uint64((1 << 30) - 1)) << np.uint64(31)) + ll)  # < 2^64
+    t = (t & p) + (t >> np.uint64(61))
+    t = (t & p) + (t >> np.uint64(61))
+    return np.where(t >= p, t - p, t)
+
+
 def compute_features_batch(texts: "pd.Series | list") -> list[dict]:
-    """Batch variant used inside the Arrow kernel (token loops stay per-doc
-    python — like every simhash implementation — but regex scans and ratio
-    math are single C calls per doc)."""
-    return [compute_features(t) for t in texts]
+    """Batch variant used inside the Arrow kernel. Per-doc work is only
+    what genuinely needs Python (regex tokenize, Counter, one pass over
+    distinct tokens for stop/lang scores); the two numeric kernels run as
+    ONE numpy pass over the concatenated batch:
+
+      * simhash — all docs' (uniq-hash, count) pairs stack into one bit
+        matrix; per-doc votes come from np.add.reduceat segment sums
+        (r4's per-doc matrix paid numpy call overhead ~128x per batch);
+      * rolling_hash — per-occurrence h*B^pos runs through the vectorized
+        Mersenne-61 modmul; per-doc sums split into 32-bit halves so
+        reduceat never overflows, with one final % P per doc.
+
+    Bit-for-bit equal to [compute_features(t) for t in texts] (the serial
+    oracle) — pinned by tests/test_core.py property tests.
+    """
+    from collections import Counter
+
+    n_docs = len(texts)
+    out: list = [None] * n_docs
+    live: list[int] = []          # out-index of docs with >= 1 token
+    hs_parts: list = []           # per-doc uniq-hash lists (python ints)
+    cnt_parts: list = []          # per-doc counts (aligned with hs_parts)
+    occ_parts: list = []          # per-doc per-occurrence premods
+    max_tok = 0
+
+    for i, text in enumerate(texts):
+        if text is None:
+            out[i] = dict(_ZERO_FEATURES)
+            continue
+        cap = text[:FEATURE_CAP]
+        lower = cap.lower()
+        tokens = _TOKEN_RE.findall(lower)
+        n_tok = len(tokens)
+        alpha = len(cap.encode("utf-8").translate(None, _NON_ALPHA_BYTES))
+        alpha_ratio = _round4(alpha / len(cap)) if cap else 0.0
+        if not n_tok:
+            out[i] = {**_ZERO_FEATURES, "n_chars": len(text),
+                      "alpha_ratio": alpha_ratio}
+            continue
+        counter = Counter(tokens)
+        stop = 0
+        scores = [0] * len(_LANG_ORDER)
+        markers = _MARKER_LANGS
+        stopwords = _STOPWORDS
+        for t, c in counter.items():
+            if t in stopwords:
+                stop += c
+            ls = markers.get(t)
+            if ls is not None:
+                for li in ls:
+                    scores[li] += c
+        best = max(scores)
+        uniq = list(counter.keys())
+        hs, hm = _token_hash_pairs(uniq)
+        hdm = dict(zip(uniq, hm))
+        out[i] = {
+            "n_chars": len(text),
+            "n_tokens": n_tok,
+            "alpha_ratio": alpha_ratio,
+            "stop_ratio": _round4(stop / n_tok),
+            "lang_pred": "und" if best == 0 else _LANG_ORDER[scores.index(best)],
+            "simhash": 0,        # filled by the batched pass below
+            "rolling_hash": 0,
+        }
+        live.append(i)
+        hs_parts.append(hs)
+        cnt_parts.append(list(counter.values()))
+        occ_parts.append(np.fromiter(
+            map(hdm.__getitem__, tokens), dtype=np.uint64, count=n_tok,
+        ))
+        max_tok = max(max_tok, n_tok)
+
+    if not live:
+        return out
+
+    # ---- batched simhash over all docs' distinct tokens
+    seg_u = np.fromiter((len(h) for h in hs_parts), dtype=np.int64,
+                        count=len(live))
+    starts_u = np.zeros(len(live), dtype=np.int64)
+    np.cumsum(seg_u[:-1], out=starts_u[1:])
+    H = np.fromiter(
+        (h for part in hs_parts for h in part), dtype=np.uint64,
+        count=int(seg_u.sum()),
+    )
+    C = np.fromiter(
+        (c for part in cnt_parts for c in part), dtype=np.int64,
+        count=len(H),
+    )
+    bits = ((H[:, None] >> _SH64) & np.uint64(1)).astype(np.int64)
+    votes = np.add.reduceat((2 * bits - 1) * C[:, None], starts_u, axis=0)
+    sigs = ((votes > 0).astype(np.uint64) << _SH64).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.int64)  # wraps to signed, same as the serial 2^64 fold
+
+    # ---- batched Karp-Rabin over all docs' token occurrences
+    seg_o = np.fromiter((len(o) for o in occ_parts), dtype=np.int64,
+                        count=len(live))
+    starts_o = np.zeros(len(live), dtype=np.int64)
+    np.cumsum(seg_o[:-1], out=starts_o[1:])
+    occ = np.concatenate(occ_parts)
+    pow_np = _rk_powers_np(max_tok)
+    pos = np.arange(len(occ), dtype=np.int64) - np.repeat(starts_o, seg_o)
+    terms = _modmul61(occ, pow_np[pos])
+    lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts_o)
+    hi = np.add.reduceat(terms >> np.uint64(32), starts_o)
+
+    for k, i in enumerate(live):
+        out[i]["simhash"] = int(sigs[k])
+        out[i]["rolling_hash"] = ((int(hi[k]) << 32) + int(lo[k])) % _RK_P
+    return out

@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from paraocr_spark import PAGE_BREAK
 from paraocr_spark.core.reference import METHOD_ERROR, METHOD_LAYOUT
 
-from paraocr_spark.core.features import FEATURES_DDL, compute_features
+from paraocr_spark.core.features import (FEATURES_DDL, compute_features,
+                                          compute_features_batch)
 
 EXTRACTED_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, extracted_text string, "
@@ -86,11 +87,14 @@ def _extract_batch(pdf: pd.DataFrame, pid: int, backend_spec: str,
     is_shard = (pdf["n_shards"].to_numpy() > 1) if "n_shards" in pdf else np.zeros(n, bool)
 
     # per-doc training-data features, same pass (no second scan / job);
-    # shards of giants get theirs after reassembly (_merge_shards_relational)
+    # shards of giants get theirs after reassembly (_merge_shards_relational).
+    # Batched kernel: simhash + rolling hash run as one numpy pass over the
+    # whole Arrow batch (bit-identical to per-doc compute_features).
+    feats = compute_features_batch(
+        [None if is_shard[i] else ext[i] for i in range(n)]
+    )
     features = np.empty(n, dtype=object)
-    features[:] = [
-        None if is_shard[i] else compute_features(ext[i]) for i in range(n)
-    ]
+    features[:] = [None if is_shard[i] else feats[i] for i in range(n)]
 
     wall = time.perf_counter() - t0
     return pd.DataFrame(
