@@ -202,3 +202,36 @@ def test_jsonl_roundtrip_preserves_microseconds(spark, tmp_path):
     }) + "\n")
     row = pio.read_pages_jsonl(spark, str(ext)).collect()[0]
     assert row.warc_ts.replace(tzinfo=None) == dt.datetime(2025, 3, 1, 12, 30, 45, 123000)
+
+
+def test_iceberg_write_read_when_runtime_present(spark, tmp_path):
+    """Exercises the write_extracted Iceberg branch (catalog-name target ->
+    writeTo().append()) against a local hadoop catalog.
+
+    SKIPPED in this sandbox: the iceberg-spark-runtime jar is not baked in
+    and cannot be vendored offline, so the branch is UNVERIFIED here (see
+    README "Optional dependencies"). On a cluster with the jar this test
+    runs for real: sessions pick up the catalog conf below, the write goes
+    through Iceberg's snapshot commit, and the read-back sees the rows.
+    """
+    from paraocr_spark.sources import io as pio
+
+    if not pio._iceberg_available(spark):
+        import pytest
+
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+
+    wh = str(tmp_path / "warehouse")
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", wh)
+    spark.sql("create database if not exists it.db")
+    df = spark.createDataFrame(
+        [("u1", "t1"), ("u2", "t2")], schema="url string, extracted_text string"
+    ).withColumn("warc_ts", F.current_timestamp())
+    spark.sql(
+        "create table if not exists it.db.extracted "
+        "(url string, extracted_text string, warc_ts timestamp) using iceberg"
+    )
+    pio.write_extracted(df, "it.db.extracted")
+    assert spark.table("it.db.extracted").count() == 2
