@@ -183,13 +183,26 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
-def _materialize_small(spark, q):
+_MATERIALIZE_CAP = 2_000_000
+
+
+def _materialize_small(spark, q, cap: int = _MATERIALIZE_CAP):
     """Run a query eagerly and hand back its (small) result as a local
     DataFrame. Used by entry queries whose efficient plan persists an
     intermediate inside a scope (shingle_cache): the action must run while
     the scope is open — at production scale that action is the sink write;
-    here the result sets are pair lists, tiny at every gate/bench SF."""
-    rows = q.collect()
+    here the result sets are pair lists, tiny at every gate/bench SF.
+
+    Guarded: collect() is a driver bottleneck the moment a "small" result
+    grows, so anything past ``cap`` rows fails loudly instead of silently
+    ballooning the driver — at that size the caller should write to a sink
+    inside the scope instead."""
+    rows = q.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"_materialize_small: result exceeds {cap} rows — no longer "
+            "driver-small; write it to a sink inside the scope instead"
+        )
     return spark.createDataFrame(rows, schema=q.schema)
 
 

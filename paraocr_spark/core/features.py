@@ -340,11 +340,24 @@ def compute_features_batch(texts: "pd.Series | list") -> list[dict]:
         count=int(seg_u.sum()),
     )
     C = np.fromiter(
-        (c for part in cnt_parts for c in part), dtype=np.int64,
+        (c for part in cnt_parts for c in part), dtype=np.int32,
         count=len(H),
     )
-    bits = ((H[:, None] >> _SH64) & np.uint64(1)).astype(np.int64)
-    votes = np.add.reduceat((2 * bits - 1) * C[:, None], starts_u, axis=0)
+    # bit matrix via unpackbits on the little-endian byte view: (n, 64)
+    # uint8, and votes in int32 — ~8x less temporary memory than an int64
+    # shift chain. Peak allocation size matters here: at 8 concurrent
+    # workers per host, tens of MB of per-batch temporaries hit the
+    # munmap/TLB-shootdown wall documented in BENCH/BASELINE.md (measured:
+    # kernel wall inflated +28% at the 4N scaling level with the int64
+    # form vs +7% kernel conservation without it).
+    bits = np.unpackbits(
+        H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    pos_votes = np.add.reduceat(
+        bits.astype(np.int32) * C[:, None], starts_u, axis=0
+    )
+    tot = np.add.reduceat(C, starts_u)
+    votes = 2 * pos_votes - tot[:, None]  # == sum((2*bit - 1) * count)
     sigs = ((votes > 0).astype(np.uint64) << _SH64).sum(
         axis=1, dtype=np.uint64
     ).astype(np.int64)  # wraps to signed, same as the serial 2^64 fold
