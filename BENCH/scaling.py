@@ -140,6 +140,10 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch="
                   + os.environ.get("SCALE_ARROW_BATCH", "128"),
         *ALLOC_ENV,
+        # ad-hoc A/B confs without editing this file, e.g.
+        # SCALE_EXTRA_CONFS="spark.shuffle.compress=false;spark.eventLog.enabled=true"
+        *[x for kv in os.environ.get("SCALE_EXTRA_CONFS", "").split(";") if kv
+          for x in ("--conf", kv)],
         "--conf", (f"spark.executor.extraJavaOptions=-XX:ParallelGCThreads="
                    f"{gc_threads} -XX:ConcGCThreads=2"),
         "--py-files", zpath,
@@ -151,8 +155,13 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--warmup",
         "--warc-buckets", "16",
     ]
+    # PARAOCR_ARROW_BATCH: build_session reads it on the driver — a plain
+    # --conf is trampled by builder.config (see job.py build_session note)
+    env = dict(os.environ,
+               PARAOCR_ARROW_BATCH=os.environ.get("SCALE_ARROW_BATCH", "128"))
     for attempt in range(2):  # one retry: transient executor-grant races
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                           env=env)
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if r.returncode == 0 and lines:
             shutil.rmtree(out, ignore_errors=True)  # bound tmpfs usage

@@ -48,7 +48,13 @@ def build_session(app: str = "paraocr_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # NOTE: builder.config OVERRIDES spark-submit --conf (getOrCreate
+        # applies builder options onto the session), so a hard-coded value
+        # here silently pins every submitted job to it — measured trap: all
+        # r4/r5 "Arrow batch size A/Bs" through scaling.py actually ran at
+        # the old hard-coded 1024. Env var = the submit-visible override.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("PARAOCR_ARROW_BATCH", "1024"))
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

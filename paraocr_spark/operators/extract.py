@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from paraocr_spark import PAGE_BREAK
 from paraocr_spark.core.reference import METHOD_ERROR, METHOD_LAYOUT
 
-from paraocr_spark.core.features import (FEATURES_DDL, compute_features,
+from paraocr_spark.core.features import (FEATURE_CAP, FEATURES_DDL,
                                           compute_features_batch)
 
 EXTRACTED_SCHEMA_DDL = (
@@ -154,13 +154,6 @@ def extract_kernel(df: DataFrame, backend: str = "default",
     return df.mapInPandas(run, schema=_KERNEL_SCHEMA_DDL)
 
 
-_MERGED_SCHEMA_DDL = EXTRACTED_SCHEMA_DDL + ", _pid int, _doc_bytes long, _wall_s double"
-_MERGED_COL_ORDER = [
-    "url", "warc_ts", "lang", "extracted_text", "spans", "method", "error",
-    "features", "_pid", "_doc_bytes", "_wall_s",
-]
-
-
 def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
     """Reassemble giant-doc shards WITHOUT moving bytes through Python.
 
@@ -168,8 +161,13 @@ def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
     deterministic shard order (never shuffle order — SURVEY.md §7); the
     merged text is a JVM-side concat_ws, and span offsets shift via a
     higher-order aggregate() that carries a running offset. Only the final
-    per-doc feature computation (a 50 KB-capped prefix per giant) touches
-    Python, in a tiny second kernel over ~0.1% of documents.
+    per-doc feature computation touches Python — as a scalar pandas_udf fed
+    the JVM-side substring(text, 1, FEATURE_CAP) prefix plus length(text),
+    so the merged giant text itself (tens of MB per doc) NEVER crosses
+    Arrow: every feature field except n_chars derives from the capped
+    prefix by construction (core/features.py docstring), and n_chars rides
+    in as the JVM length. The previous mapInPandas form round-tripped the
+    full merged text through Python twice per giant.
     """
     pb = F.lit(PAGE_BREAK)
     grouped = kernel_out.groupBy("url").agg(
@@ -219,17 +217,27 @@ def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
         "_pid", "_doc_bytes", "_wall_s",
     )
 
-    # tiny second kernel: features over the merged giants only
-    def add_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from paraocr_spark.core.features import compute_features
+    @F.pandas_udf(FEATURES_DDL)
+    def giant_features(prefix: pd.Series, n_chars: pd.Series) -> pd.DataFrame:
+        # prefix is already text[:FEATURE_CAP] (JVM substring; both count
+        # code points) — compute_features_batch re-caps it, a no-op. Its
+        # n_chars is len(prefix); override with the uncapped JVM length
+        # (null text -> null length -> keep the zero-features 0).
+        feats = compute_features_batch(list(prefix))
+        for f, n in zip(feats, n_chars):
+            if not pd.isna(n):
+                f["n_chars"] = int(n)
+        return pd.DataFrame(feats)
 
-        for b in batches:
-            if len(b):
-                b = b.copy()
-                b["features"] = [compute_features(t) for t in b["extracted_text"]]
-                yield b[_MERGED_COL_ORDER]
-
-    return merged.mapInPandas(add_features, schema=_MERGED_SCHEMA_DDL)
+    return merged.select(
+        "url", "warc_ts", "lang", "extracted_text", "spans", "method",
+        "error",
+        giant_features(
+            F.substring("extracted_text", 1, FEATURE_CAP),
+            F.length("extracted_text"),
+        ).alias("features"),
+        "_pid", "_doc_bytes", "_wall_s",
+    )
 
 
 
