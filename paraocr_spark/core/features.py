@@ -353,9 +353,13 @@ def compute_features_batch(texts: "pd.Series | list") -> list[dict]:
     bits = np.unpackbits(
         H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
-    pos_votes = np.add.reduceat(
-        bits.astype(np.int32) * C[:, None], starts_u, axis=0
-    )
+    # in-place weight: one (n,64) int32 temp instead of two (astype +
+    # product) — per-batch peak matters at 8+ concurrent workers (the
+    # munmap/TLB wall), and this pass is the batch's largest allocation
+    weighted = bits.astype(np.int32)
+    weighted *= C[:, None]
+    pos_votes = np.add.reduceat(weighted, starts_u, axis=0)
+    del weighted
     tot = np.add.reduceat(C, starts_u)
     votes = 2 * pos_votes - tot[:, None]  # == sum((2*bit - 1) * count)
     sigs = ((votes > 0).astype(np.uint64) << _SH64).sum(

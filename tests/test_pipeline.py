@@ -154,6 +154,100 @@ def test_write_extracted_rejects_mixed_partition_layout(spark, tmp_path):
     pio.write_extracted(old, path, n_buckets=2)
 
 
+def test_write_extracted_scopes_sortfree_write_confs(spark, tmp_path, monkeypatch):
+    """The bucketed write must run with the planned partition-sort OFF (the
+    repartition already gives ~one partition value per task; the sort moved
+    the full output through an UnsafeExternalSorter — 312 CPU-s at 1.15M
+    docs / 4 executors) and concurrent writers ON for the residual
+    multi-value tasks — and must RESTORE both confs afterwards, success or
+    failure, so unbucketed writers elsewhere keep the planned sort."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from paraocr_spark.sources.pages import pages_df
+    from paraocr_spark.sources import io as pio
+
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.optimizer.plannedWrite.enabled",
+                  "spark.sql.maxConcurrentOutputFileWriters")
+    }
+    seen = {}
+    real_parquet = DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        seen["planned"] = spark.conf.get("spark.sql.optimizer.plannedWrite.enabled")
+        seen["writers"] = spark.conf.get("spark.sql.maxConcurrentOutputFileWriters")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
+    df = pages_df(spark, 8, 2).select("url", "warc_ts", "lang")
+    pio.write_extracted(df, str(tmp_path / "t"), n_buckets=2)
+    assert seen == {"planned": "false", "writers": "32"}
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+
+    # restore also on write failure (schema broken mid-write via a spy that
+    # raises): confs must not leak
+    def boom(self, path, **kw):
+        raise RuntimeError("synthetic write failure")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="synthetic write failure"):
+        pio.write_extracted(df, str(tmp_path / "t2"), n_buckets=2)
+    assert {k: spark.conf.get(k) for k in before} == before
+
+
+def test_zip_source_expands_archives_and_extracts(spark, tmp_path):
+    """S10 (reference webui.py:70-118): ZIP archives expand to pages rows —
+    one row per entry with stable archive!entry urls and the entry's zip
+    timestamp — and the rows extract byte-identically to running the
+    reference extractor on the raw entry bytes. A corrupt archive becomes
+    ONE in-band error row, never a scan failure."""
+    import zipfile
+    from datetime import datetime
+
+    from paraocr_spark.core import reference as ref
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.sources.io import read_pages_zip
+    from paraocr_spark.sources.pages import gen_page
+
+    payloads = {}
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    for z in range(2):
+        with zipfile.ZipFile(zdir / f"crawl{z}.zip", "w") as zf:
+            zf.writestr("docs/", "")  # dir entry: must be skipped
+            for j in range(3):
+                page = gen_page(z * 50 + j)
+                name = f"docs/page{j}.bin"
+                info = zipfile.ZipInfo(name, date_time=(2021, 3, 4, 5, 6, 2 * j))
+                zf.writestr(info, page["html"] or page["text"].encode())
+                payloads[(f"crawl{z}.zip", name)] = page
+    (zdir / "broken.zip").write_bytes(b"PK\x03\x04 not a real zip")
+
+    pages = read_pages_zip(spark, str(zdir)).cache()
+    rows = pages.collect()
+    assert len(rows) == 7  # 2 archives x 3 entries + 1 corrupt-archive row
+    by_url = {r["url"]: r for r in rows}
+    for (archive, name), page in payloads.items():
+        url = next(u for u in by_url if u.endswith(f"{archive}!{name}"))
+        r = by_url[url]
+        assert bytes(r["html"]) == (page["html"] or page["text"].encode())
+        assert r["warc_ts"] == datetime(2021, 3, 4, 5, 6, 2 * int(name[-5]))
+    corrupt = [r for r in rows if "!" not in r["url"]]
+    assert len(corrupt) == 1 and corrupt[0]["url"].endswith("broken.zip")
+
+    ext = {r["url"]: r for r in extract_pages(pages).collect()}
+    for url, r in by_url.items():
+        exp = ref.extract_document(bytes(r["html"]), None)
+        assert (ext[url]["extracted_text"], ext[url]["method"],
+                ext[url]["error"]) == (exp.extracted_text, exp.method,
+                                       exp.error), url
+    pages.unpersist()
+
+
 def test_jsonl_source_roundtrip_and_extraction(spark, tmp_path):
     """S1 alternate format: JSONL (base64 html) -> pages schema -> the same
     extraction results as the parquet source, byte-identical."""
