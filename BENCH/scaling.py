@@ -137,15 +137,26 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         "--conf", f"spark.sql.shuffle.partitions={max(8, cores_max * 2)}",
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.local.dir=/dev/shm/paraocr_spark_local",
+        # 1024 default: the r3 "128 beats 1024" A/B predated the env fix and
+        # never took effect (job.py builder trample); measured honestly at
+        # 1.15M docs, batch 128 inflates N-level kernel-seconds ~15%
+        # (879 vs 762) for no 4N gain.
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch="
-                  + os.environ.get("SCALE_ARROW_BATCH", "128"),
+                  + os.environ.get("SCALE_ARROW_BATCH", "1024"),
         *ALLOC_ENV,
         # ad-hoc A/B confs without editing this file, e.g.
         # SCALE_EXTRA_CONFS="spark.shuffle.compress=false;spark.eventLog.enabled=true"
         *[x for kv in os.environ.get("SCALE_EXTRA_CONFS", "").split(";") if kv
           for x in ("--conf", kv)],
-        "--conf", (f"spark.executor.extraJavaOptions=-XX:ParallelGCThreads="
-                   f"{gc_threads} -XX:ConcGCThreads=2"),
+        # -Xms == -Xmx: G1's grow/shrink cycle uncommits heap regions
+        # (madvise -> the same TLB-shootdown storm the Python workers hit);
+        # pinning the heap collapsed write-stage GC 32->3 s and its CPU
+        # 369->252 core-s at 4 executors (event logs 0035/0036). NOT
+        # -XX:+AlwaysPreTouch: zeroing 48 GB up front cost an 85 s stage-0
+        # stall for nothing (first-touch amortizes fine once uncommit is off).
+        "--conf", (f"spark.executor.extraJavaOptions=-Xms12g "
+                   f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads=2 "
+                   + os.environ.get("SCALE_JAVA_OPTS", "")),
         "--py-files", zpath,
         str(REPO / "paraocr_spark" / "job.py"),
         "--input", pages,
@@ -158,7 +169,7 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
     # PARAOCR_ARROW_BATCH: build_session reads it on the driver — a plain
     # --conf is trampled by builder.config (see job.py build_session note)
     env = dict(os.environ,
-               PARAOCR_ARROW_BATCH=os.environ.get("SCALE_ARROW_BATCH", "128"))
+               PARAOCR_ARROW_BATCH=os.environ.get("SCALE_ARROW_BATCH", "1024"))
     for attempt in range(2):  # one retry: transient executor-grant races
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
                            env=env)

@@ -66,6 +66,13 @@ def write_extracted(df: DataFrame, path: str, mode: str = "append",
         # replace only the partitions present in df (idempotent micro-batch
         # replay), never the whole table
         w = w.option("partitionOverwriteMode", "dynamic")
+    # url/extracted_text/spans are all-distinct per row: parquet dictionary
+    # encoding buys nothing for them but pays hash-table build + lookup per
+    # value until the 1MB dictionary overflows EVERY column chunk — measured
+    # at 1.15M docs / 4 executors: write-stage wall 85->61 s, CPU 428->354 s
+    # for +1.7% file size (the low-cardinality lang/method columns lose
+    # their dict, a rounding error next to the text bytes)
+    w = w.option("parquet.enable.dictionary", "false")
     # plannedWrite (default on) would SORT every task's rows by the
     # partition columns before writing — but the repartition above already
     # guarantees one (run_id, warc_bucket) value per task (run_id is a
