@@ -192,13 +192,14 @@ def run_level(executor_cores: int, cores_max: int, zpath: str, pages: str,
         # SCALE_EXTRA_CONFS="spark.shuffle.compress=false;spark.eventLog.enabled=true"
         *[x for kv in os.environ.get("SCALE_EXTRA_CONFS", "").split(";") if kv
           for x in ("--conf", kv)],
-        # -Xms == -Xmx: G1's grow/shrink cycle uncommits heap regions
-        # (madvise -> the same TLB-shootdown storm the Python workers hit);
-        # pinning the heap collapsed write-stage GC 32->3 s and its CPU
-        # 369->252 core-s at 4 executors (event logs 0035/0036). NOT
-        # -XX:+AlwaysPreTouch: zeroing 48 GB up front cost an 85 s stage-0
-        # stall for nothing (first-touch amortizes fine once uncommit is off).
-        "--conf", (f"spark.executor.extraJavaOptions=-Xms12g "
+        # Heap-pinning (-Xms12g) A/B'd both ways and left OFF: it collapsed
+        # write-STAGE GC 32->3 s and its CPU 369->252 core-s (event logs
+        # 0035/0036), yet every full pinned execution ran slower end-to-end
+        # than unpinned neighbors (4N 2132-2731 vs 3335-4298 docs/s) — an
+        # unresolved interaction documented in BENCH/BASELINE.md. Re-test
+        # via SCALE_JAVA_OPTS="-Xms12g". AlwaysPreTouch rejected outright
+        # (85 s stage-0 stall zeroing 48 GB).
+        "--conf", (f"spark.executor.extraJavaOptions="
                    f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads=2 "
                    + os.environ.get("SCALE_JAVA_OPTS", "")),
         "--py-files", zpath,
