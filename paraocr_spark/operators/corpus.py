@@ -306,9 +306,17 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, term, tfidf, rank): per-document top-k terms by tf * ln(N/df).
 
-    One token explode feeds tf (groupBy id,term), df (groupBy term), and N
-    (count of docs) — three aggregations over one shuffle family; the doc
-    count joins back as a broadcast scalar. Deterministic ties
+    One token explode feeds tf (groupBy id,term); df is DERIVED from tf —
+    tf's rows are exactly the distinct (doc, term) pairs, so
+    count-rows-per-term IS the distinct-document frequency. That removes a
+    second tokenize+explode pass over the corpus (the old toks->df_ branch
+    re-ran the scan+regex+explode: its Exchange partitioning differed from
+    tf's, so nothing was reused) and turns df's countDistinct (an Expand
+    doubling the exploded rows) into a plain count over the
+    already-aggregated tf table. A/B at sf1.0/50k docs: wall-neutral
+    (~2.2-2.9 s both, the window/join dominate locally) — kept because one
+    corpus pass instead of two is what matters when the scan isn't
+    OS-cached. N joins back as a broadcast scalar. Deterministic ties
     (score desc, term asc); tfidf rounded 6dp for cross-engine stability.
     """
     toks = docs.select(
@@ -318,7 +326,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
         ).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     scored = (
         tf.join(df_, "term")
