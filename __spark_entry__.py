@@ -347,7 +347,12 @@ def _q_streaming_extract(spark, sf_dir):
     work = os.path.join(parent, _uuid.uuid4().hex[:12])
     os.makedirs(work, exist_ok=True)
     src = os.path.join(work, "pages")
-    pages.write.mode("overwrite").parquet(src)
+    # fan out before staging: a 1-2 split pages plan would write 1-2 files,
+    # and each availableNow micro-batch (and its Python kernel) inherits
+    # that file parallelism (skew.ensure_min_parallelism; no-op at scale)
+    from paraocr_spark.operators.skew import ensure_min_parallelism
+
+    ensure_min_parallelism(pages).write.mode("overwrite").parquet(src)
     q = extract_stream(
         spark, src, os.path.join(work, "out"), os.path.join(work, "ckpt"),
         PipelineConfig(run_id="stream_entry", warc_buckets=8),
@@ -397,9 +402,10 @@ def _q_lang_id(spark, sf_dir):
     not CSE the repeated regexp subtree — measured 4.3 s -> 2.4 s at
     sf1.0. Results identical (same tokens, same tie-breaks)."""
     from paraocr_spark.functions.text import lang_id_from_tokens, lowered_tokens
+    from paraocr_spark.operators.skew import ensure_min_parallelism
 
     return (
-        _docs(spark, sf_dir)
+        ensure_min_parallelism(_docs(spark, sf_dir).select("text"))
         .select(lowered_tokens(F.col("text")).alias("_lt"))
         .select(lang_id_from_tokens(F.col("_lt")).alias("lang_pred"))
         .groupBy("lang_pred")

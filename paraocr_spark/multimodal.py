@@ -200,6 +200,11 @@ def synthetic_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payloads.append(full)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return ids_df.select(id_col).mapInPandas(
+    from paraocr_spark.operators.skew import ensure_min_parallelism
+
+    # fan out a coarse id scan so generation (and the downstream decode
+    # kernels, which inherit this partitioning) use every core
+    # (skew.ensure_min_parallelism; no-op at scale)
+    return ensure_min_parallelism(ids_df.select(id_col)).mapInPandas(
         gen, schema="media_id long, payload binary"
     )

@@ -246,7 +246,7 @@ def _merge_shards_relational(kernel_out: DataFrame) -> DataFrame:
 def extract_pages(pages: DataFrame, *, salt: bool = True,
                   backend: str = "default",
                   backend_kwargs: dict | None = None,
-                  lineage_acc=None) -> DataFrame:
+                  lineage_acc=None, fanout: bool = True) -> DataFrame:
     """Full extraction: optional skew salting -> kernel -> shard reassembly.
 
     Returns EXTRACTED_SCHEMA plus metric cols (_pid, _doc_bytes, _wall_s);
@@ -260,18 +260,30 @@ def extract_pages(pages: DataFrame, *, salt: bool = True,
     second source scan — whose filter discards everything else before any
     Python — is cheap; the alternative (persisting the kernel output) would
     materialize the full corpus at 100 TB.
+
+    ``fanout`` (default True) applies ensure_min_parallelism to the kernel
+    input: a small input (one parquet row group -> 1-2 scan splits) would
+    otherwise run the whole Python kernel on 1-2 cores (measured 4.6 s ->
+    1.0 s at 50k docs/local[32]). At scale the scan has >= cores splits
+    and NO Exchange is added, preserving the shuffle-free kernel plan
+    (tests assert both shapes). Pass False to pin the input partitioning
+    (e.g. when the caller already repartitioned).
     """
-    from paraocr_spark.operators.skew import salt_pages
+    from paraocr_spark.operators.skew import ensure_min_parallelism, salt_pages
 
     base_cols = ["url", "warc_ts", "html", "text", "lang"]
     if not salt:
         prepped = pages.select(
             *base_cols, F.lit(0).alias("shard_id"), F.lit(1).alias("n_shards"),
         )
+        if fanout:
+            prepped = ensure_min_parallelism(prepped)
         return extract_kernel(prepped, backend, backend_kwargs,
                               lineage_acc).drop("shard_id", "n_shards")
 
     normal, giant_pages = split_normal_giants(pages)
+    if fanout:
+        normal = ensure_min_parallelism(normal)
     singles = extract_kernel(normal, backend, backend_kwargs,
                              lineage_acc).drop("shard_id", "n_shards")
     sharded = _merge_shards_relational(

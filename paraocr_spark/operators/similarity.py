@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from paraocr_spark.operators.skew import ensure_min_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -144,7 +146,9 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
                 out_c.extend(cand_c[order])
             yield pd.DataFrame({"q": out_q, "nb": out_nb, "cosine": out_c})
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
+    # fan out a coarse scan so the per-batch matmul uses every core
+    # (skew.ensure_min_parallelism; no-op at scale)
+    scored = ensure_min_parallelism(emb.select(id_col, vec_col)).mapInPandas(
         local_topk, schema="q long, nb long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
@@ -206,7 +210,11 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
             yield pdf
 
     out_schema = f"{id_col} long, {vec_col} array<float>, cell int"
-    return emb.select(id_col, vec_col).mapInPandas(assign, schema=out_schema), C
+    return (
+        ensure_min_parallelism(emb.select(id_col, vec_col))
+        .mapInPandas(assign, schema=out_schema),
+        C,
+    )
 
 
 def ann_topk_ivf(emb: DataFrame, k: int = 5, n_queries: int = 20,
@@ -299,7 +307,7 @@ def ann_topk_ivf_recall(emb: DataFrame, k: int = 5, n_queries: int = 20,
             pdf["cell"] = np.argmax(D, axis=1).astype("int32")
             yield pdf
 
-    assigned = emb.select(id_col, vec_col).mapInPandas(
+    assigned = ensure_min_parallelism(emb.select(id_col, vec_col)).mapInPandas(
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     )
 
@@ -389,7 +397,11 @@ def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,
         M = np.stack(v.to_numpy())  # (n, dim) float32
         return pd.Series(list(_bucket_matrix(M, dim, bits, tables)))
 
-    ex = emb.select(
+    # fan out a coarse scan so the signature matmul uses every core
+    # (skew.ensure_min_parallelism; no-op at scale) — the UDF sits BELOW
+    # callers' keyed repartition, so without this it runs on the 1-2
+    # splits a small parquet input yields
+    ex = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )

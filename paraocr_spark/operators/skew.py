@@ -31,6 +31,33 @@ PAGES_PER_SHARD = 64
 _SHARD_COLS = "url string, warc_ts timestamp, html binary, text string, lang string, shard_id int, n_shards int"
 
 
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin fan-out of a too-coarse input; NO-OP when the plan
+    already has >= target partitions.
+
+    Why (guide §2, scale-adaptive partitioning): a small parquet input is
+    one row group and one or two scan splits, so every downstream map
+    stage — a Python kernel, a regex tokenize, an n-gram explode, an md5
+    pass — runs on 1-2 of the cluster's cores while the rest idle
+    (measured at 50k docs/local[32]: the extraction kernel ran 4.6 s on a
+    2-split scan vs 1.0 s fanned out). At production scale a corpus scan
+    yields thousands of splits >= defaultParallelism, so this adds NO
+    Exchange there — the condition is evaluated from the actual plan
+    partitioning, not a constant tuned to either environment.
+
+    ``target`` defaults to sparkContext.defaultParallelism (the total core
+    count of the app, any master). The keyless repartition round-robins
+    whole rows; Spark's sort-before-repartition (SPARK-23207, on by
+    default) keeps the row-to-partition assignment deterministic under
+    task retry.
+    """
+    sc = df.sparkSession.sparkContext
+    t = int(target or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df
+
+
 def _is_layout_col():
     return F.substring(F.col("html"), 1, len(layout.MAGIC)) == F.lit(layout.MAGIC)
 

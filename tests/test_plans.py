@@ -58,8 +58,16 @@ def test_ann_topk_two_phase(spark):
 
     assert "MapInPandas" in p
     assert "Join" not in p  # no crossjoin of candidates x queries
-    # just the window's hashpartition(q) — one Exchange node in the tree
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # the window's hashpartition(q) is the ONLY keyed Exchange; the input
+    # fanout (skew.ensure_min_parallelism — fires only on a coarse scan,
+    # i.e. at test SFs, never at scale) may add one round-robin Exchange
+    exchanges = [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Exchange[^(]*(?:\n(?!\(\d+\)).*)*", p)
+    ]
+    keyed = [e for e in exchanges if "hashpartitioning" in e]
+    rr = [e for e in exchanges if "RoundRobinPartitioning" in e]
+    assert len(keyed) == 1 and len(exchanges) == len(keyed) + len(rr)
 
 
 def test_dedup_exact_partial_agg(spark, docs):
@@ -92,15 +100,42 @@ def test_simhash_no_python(spark, docs):
 def test_kernel_no_shuffle_for_normal_docs(spark):
     """The extraction kernel on non-giant docs is shuffle-free: scan ->
     ArrowEvalPython/MapInPandas -> project. Any Exchange here would shuffle
-    the full corpus at 100 TB."""
+    the full corpus at 100 TB. ``fanout=False`` pins the input partitioning
+    — the fanout path's conditional repartition (tested below) is a no-op
+    exactly when the scan has >= defaultParallelism splits, i.e. at scale,
+    where THIS plan shape is what executes."""
     from paraocr_spark.operators.extract import extract_pages
     from paraocr_spark.sources.pages import pages_from_documents
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     pages = pages_from_documents(docs, "html")
-    p = plan_of(extract_pages(pages, salt=False))
+    p = plan_of(extract_pages(pages, salt=False, fanout=False))
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_fanout_conditional_on_scan_parallelism(spark):
+    """ensure_min_parallelism (guide §2: scale-adaptive partitioning) must
+    round-robin a too-coarse input up to defaultParallelism — a one-row-
+    group parquet file otherwise runs every map stage on 1-2 cores — and
+    must be a NO-OP (no added Exchange) once the input already has enough
+    partitions, which is the 100 TB case."""
+    from paraocr_spark.operators.extract import extract_pages
+    from paraocr_spark.operators.skew import ensure_min_parallelism
+    from paraocr_spark.sources.pages import pages_from_documents
+
+    target = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = pages_from_documents(docs, "html")
+    coarse = pages.coalesce(1)
+    assert ensure_min_parallelism(coarse).rdd.getNumPartitions() == target
+    wide = pages.repartition(target + 1)
+    # already-parallel input: returned UNCHANGED (same plan object, so the
+    # kernel plan stays Exchange-free beyond the caller's own repartition)
+    assert ensure_min_parallelism(wide) is wide
+    # and the fanout default routes the kernel input through it
+    p = plan_of(extract_pages(coarse, salt=False))
+    assert "MapInPandas" in p and "Exchange" in p
 
 
 def test_lineage_rollup_partial_agg(spark):
