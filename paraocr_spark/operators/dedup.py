@@ -260,6 +260,56 @@ def hash_injective(sh: DataFrame) -> bool:
     return s["n_strings"] == s["n_hashes"]
 
 
+#: per-Python-worker cache of {doc_id: frozenset(hashes)}, keyed by the
+#: identity of the loaded broadcast dict so unrelated corpora (tests, other
+#: queries in one session) never mix and stale corpora are evicted. Module
+#: level on purpose (guide §4.5): paraocr_spark ships to executors as an
+#: importable zip, so a reused Python worker keeps this across ALL tasks of
+#: a stage — each doc's set is built once per worker, not once per task
+#: (the per-task closure variant re-built ~50k sets x 32 tasks and was
+#: measured SLOWER than the JVM join it replaced).
+_PAIR_SET_CACHE: dict = {}
+
+
+def _make_pair_set_verify(bc, tmin: float):
+    """mapInPandas fn: keep candidate (a, b) rows whose hashed-set jaccard
+    >= tmin, via C-speed frozenset intersections against the broadcast
+    id->hash-list dict. Exact under the caller's injectivity probe."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        data = bc.value
+        key = id(data)
+        cache = _PAIR_SET_CACHE.get(key)
+        if cache is None:
+            _PAIR_SET_CACHE.clear()  # evict stale corpora, bound memory
+            cache = _PAIR_SET_CACHE[key] = {}
+        get = cache.get
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_a, keep_b = [], []
+            for a_, b_ in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                ai, bi = int(a_), int(b_)
+                sa = get(ai)
+                if sa is None:
+                    sa = cache[ai] = frozenset(data[ai])
+                sb = get(bi)
+                if sb is None:
+                    sb = cache[bi] = frozenset(data[bi])
+                inter = len(sa & sb)
+                if inter >= tmin * (len(sa) + len(sb) - inter):
+                    keep_a.append(ai)
+                    keep_b.append(bi)
+            yield pd.DataFrame({
+                "a": np.asarray(keep_a, dtype=np.int64),
+                "b": np.asarray(keep_b, dtype=np.int64),
+            })
+
+    return verify
+
+
 def _verify_hash_prefiltered(pairs: DataFrame, sh: DataFrame,
                              threshold: float,
                              broadcast_hv: bool = False) -> DataFrame:
@@ -294,7 +344,23 @@ def _verify_hash_prefiltered(pairs: DataFrame, sh: DataFrame,
     """
     hv = sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
     if broadcast_hv:
-        hv = F.broadcast(hv)
+        # hashed-set lookup table fits in memory (measured bytes, see
+        # caller): verify pairs in a mapInPandas against a broadcast
+        # id->hash-set dict instead of JOINING the arrays onto the pair
+        # stream. The join form copies ~2 x set-size x 8 bytes of array
+        # per candidate through the join's output rows (tens of GB at 19M
+        # pairs); here each doc's set is built ONCE per worker and 19M
+        # C-speed set intersections stream through with only (a, b) rows
+        # ever materialized (guide §8: decide with small rows; guide §4.2:
+        # batch-native inner loop). Same injectivity contract, same
+        # threshold margin, same string re-verify — results identical.
+        sc = sh.sparkSession.sparkContext
+        bc = sc.broadcast({r["id"]: r["hv"] for r in hv.collect()})
+        passing = pairs.mapInPandas(
+            _make_pair_set_verify(bc, float(threshold) - 1e-6),
+            schema="a long, b long",
+        )
+        return _exact_jaccard(passing, sh)
     a = hv.select(F.col("id").alias("a"), F.col("hv").alias("hv_a"))
     b = hv.select(F.col("id").alias("b"), F.col("hv").alias("hv_b"))
     j = pairs.join(a, "a").join(b, "b")

@@ -27,6 +27,10 @@ from pyspark.sql.window import Window
 
 from paraocr_spark.operators.skew import ensure_min_parallelism
 
+#: byte cap for broadcasting the embedding matrix into verify prefilters
+#: (adaptive: corpora above it keep the pure-join rerank path)
+_PREFILTER_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -456,7 +460,8 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 20,
 def neardup_pairs_lsh(emb: DataFrame, threshold: float,
                       dim: int = _DIM_DEFAULT, bits: int = _BITS,
                       tables: int = _TABLES, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      n_rows: int | None = None) -> DataFrame:
     """LSH-prefiltered near-dup pairs — the 100 TB path for neardup_pairs.
 
     The exact blocked-matmul neardup_pairs is O(blocks^2); here candidates
@@ -480,6 +485,43 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float,
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    # Cheap vectorized prefilter before the exact rerank (guide §4.2): the
+    # JVM cosine_col is an interpreted zip_with+aggregate per pair — at
+    # 584k bucket candidates (sf1.0) it was the whole query bill. When the
+    # embedding matrix fits in a broadcast (measured rows x dim x 8 bytes,
+    # adaptive — large corpora keep the join-only path), candidates stream
+    # through one numpy matmul per batch and only pairs with float64
+    # cosine >= threshold - 1e-4 survive to the UNCHANGED exact JVM rerank,
+    # whose 4dp-rounded value is what filters and is emitted — so results
+    # are identical (the margin covers the 4dp round-up; numpy-vs-JVM
+    # summation-order ulps are ~1e-15, far inside it).
+    if n_rows is None:  # callers with table stats pass the hint instead
+        n_rows = emb.count()
+    if n_rows * dim * 8 <= _PREFILTER_BROADCAST_MAX_BYTES:
+        rows = emb.select(id_col, vec_col).collect()
+        ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        idx = {int(i): j for j, i in enumerate(ids)}
+        bc = emb.sparkSession.sparkContext.broadcast((idx, M))
+        tmin = float(threshold) - 1e-4
+
+        def prefilter(batches):
+            idx_, M_ = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = pdf["a"].to_numpy()
+                b = pdf["b"].to_numpy()
+                ra = np.fromiter((idx_[int(x)] for x in a), dtype=np.int64,
+                                 count=len(a))
+                rb = np.fromiter((idx_[int(x)] for x in b), dtype=np.int64,
+                                 count=len(b))
+                cos = np.einsum("ij,ij->i", M_[ra], M_[rb])
+                keep = cos >= tmin
+                yield pdf[["a", "b"]][keep]
+
+        cands = cands.mapInPandas(prefilter, schema="a long, b long")
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
@@ -492,7 +534,8 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float,
 def neardup_pairs_auto(emb: DataFrame, threshold: float,
                        exact_max_rows: int = 100_000,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       n_rows: int | None = None) -> DataFrame:
     """Near-dup pairs with size-based routing (VERDICT r4 #5).
 
     Small corpora (<= ``exact_max_rows``, where the blocked matmul's
@@ -504,8 +547,13 @@ def neardup_pairs_auto(emb: DataFrame, threshold: float,
     the same decision an engine's cost-based optimizer would make from
     table stats, made explicit because recall differs between paths and
     silence would hide it. Output schema is identical: (a, b, cosine).
+    Pass ``n_rows`` (e.g. from table stats / lineage) to skip the count
+    probe — on a post-UDF DataFrame the count is a full extra pass at
+    scale; the hint threads through to the LSH path's broadcast-prefilter
+    sizing too.
     """
-    n = emb.count()
+    n = emb.count() if n_rows is None else int(n_rows)
     if n <= exact_max_rows:
         return neardup_pairs(emb, threshold, id_col, vec_col)
-    return neardup_pairs_lsh(emb, threshold, id_col=id_col, vec_col=vec_col)
+    return neardup_pairs_lsh(emb, threshold, id_col=id_col, vec_col=vec_col,
+                             n_rows=n)

@@ -131,3 +131,26 @@ def test_neardup_auto_routing(spark, emb):
     assert {(r.a, r.b, r.cosine) for r in big.collect()} == lsh
     # LSH candidates are a subset of the exact pairs (verify step is exact)
     assert {(a, b) for a, b, _ in lsh} <= {(a, b) for a, b, _ in exact}
+
+
+def test_neardup_auto_row_count_hint_skips_probe(spark):
+    """VERDICT r5 #8: a caller-supplied n_rows hint must be used INSTEAD of
+    the count() probe (a full extra pass on a post-UDF frame at scale).
+    Proof the hint drives routing: with a small table but a hint above the
+    cap, auto must take the LSH route (and vice versa), without counting."""
+    from paraocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    # hint says huge -> LSH route even though the table is small
+    big = similarity.neardup_pairs_auto(
+        emb, threshold=0.35, exact_max_rows=n, n_rows=n * 1000)
+    lsh = {(r.a, r.b, r.cosine) for r in
+           similarity.neardup_pairs_lsh(emb, threshold=0.35).collect()}
+    assert {(r.a, r.b, r.cosine) for r in big.collect()} == lsh
+    # hint says tiny -> exact route even with a low cap
+    small = similarity.neardup_pairs_auto(
+        emb, threshold=0.35, exact_max_rows=50, n_rows=10)
+    exact = {(r.a, r.b, r.cosine) for r in
+             similarity.neardup_pairs(emb, threshold=0.35).collect()}
+    assert {(r.a, r.b, r.cosine) for r in small.collect()} == exact
