@@ -136,6 +136,15 @@ def noise_gauge() -> float:
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=300)
+    if r.returncode != 0 or not r.stdout.strip():
+        # gauge subprocess failed (import error, OOM): return a sentinel so
+        # wait_clean_window retries / the trial proceeds ungated instead of
+        # aborting the whole ladder on an IndexError (ADVICE r5)
+        sys.stderr.write(
+            f"noise gauge subprocess failed rc={r.returncode}; "
+            f"stderr tail: {r.stderr.strip()[-200:]}\n"
+        )
+        return float("inf")
     return float(r.stdout.strip().splitlines()[-1])
 
 

@@ -210,14 +210,29 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Eager: the r4 A/B winner materializes the shingle table DISK_ONLY
     for the plan's three consumers (candidate chain + both verify sides),
     scoped so the storage is released before returning — 6.6 s vs 9.9 s
-    (shuffle-as-cache) at sf0.1 (operators/dedup.shingle_cache)."""
+    (shuffle-as-cache) at sf0.1 (operators/dedup.shingle_cache).
+
+    Arrow batch size is scoped UP to Spark's stock 10k for this query's
+    action (guide §4.2: raise it for narrow rows): the only Python stage
+    here is the pair-verify kernel whose rows are two longs, and a session
+    tuned to ~1k batches for 30 KB html rows pays ~18k batch roundtrips on
+    19M candidate pairs (measured 13.1 -> 10.1 s at sf1.0). Restored in
+    finally so other queries keep the session's setting."""
     from paraocr_spark.operators.dedup import dedup_ngram_jaccard, shingle_cache
 
     docs = _docs(spark, sf_dir)
-    with shingle_cache(docs) as sh:
-        return _materialize_small(
-            spark, dedup_ngram_jaccard(docs, threshold=0.5, sh=sh)
-        )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        if prev is not None and int(prev) < 10000:
+            spark.conf.set(key, "10000")
+        with shingle_cache(docs) as sh:
+            return _materialize_small(
+                spark, dedup_ngram_jaccard(docs, threshold=0.5, sh=sh)
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):

@@ -51,7 +51,17 @@ def lineage_rows_from_acc(acc_value: dict, run_id: str, config_fp: str,
     Sums the (stage, pid) entries by pid — the normal and giant kernel
     branches run in different stages but may share partition ids, and the
     lineage contract is one row per kernel partition (matching the
-    read-back rollup's groupBy(_pid))."""
+    read-back rollup's groupBy(_pid)).
+
+    PER-PID ATTRIBUTION CAVEAT (ADVICE r5): on runs with giant shards the
+    two lineage paths attribute rows differently — this accumulator path
+    emits a doc_count=0 row for a partition that processed only shards
+    (docs==0, bytes>0) and charges giants to the kernel-task pids that ran
+    the shards, while the shard-cache read-back rollup groups a giant
+    under its MERGED row's _pid and never emits bytes-only rows. Totals
+    (doc_count / bytes / wall sums) agree exactly; per-partition rows do
+    not. Consumers must treat partition_id as an attribution key, not a
+    stable identity across the two paths."""
     by_pid: dict[int, list] = {}
     for (_stage, pid), (docs, nbytes, wall) in acc_value.items():
         if docs == 0 and nbytes == 0:

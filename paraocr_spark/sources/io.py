@@ -142,7 +142,12 @@ def write_lineage_rows(rows: list, path: str) -> None:
     with a unique name is the same durability contract as a one-task Spark
     append (parquet dirs are just files; Spark reads the result
     identically), minus the job. Falls back to nothing if rows is empty —
-    an empty append would only add a zero-row file."""
+    an empty append would only add a zero-row file.
+
+    Remote paths (hdfs://, s3a://, ...) resolve through
+    pyarrow.fs.FileSystem.from_uri (ADVICE r5: the previous os.makedirs +
+    local write silently turned 'hdfs:/...' into a bogus LOCAL directory);
+    plain paths keep the local fast path."""
     import uuid
 
     import pyarrow as pa
@@ -166,10 +171,19 @@ def write_lineage_rows(rows: list, path: str) -> None:
     )
     import os
 
+    fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+    if "://" in path:  # remote URI: resolve the scheme's filesystem
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        filesystem.create_dir(fs_path, recursive=True)
+        pq.write_table(table, f"{fs_path}/{fname}", filesystem=filesystem,
+                       compression="snappy")
+        return
     os.makedirs(path, exist_ok=True)
     pq.write_table(
         table,
-        os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet"),
+        os.path.join(path, fname),
         compression="snappy",
     )
 

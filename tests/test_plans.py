@@ -84,9 +84,27 @@ def test_dedup_exact_partial_agg(spark, docs):
 def test_minhash_partial_min_and_no_python(spark, docs):
     from paraocr_spark.operators.dedup import minhash_signatures, with_shingles
 
+    # default shape: map-side partial mins, pure JVM
     p = plan_of(minhash_signatures(with_shingles(docs)))
     assert "partial_min" in p
     assert "Python" not in p  # signature path is pure JVM expressions
+    # vectorized A/B variant: JVM hashing projection + ONE batch kernel
+    pv = plan_of(minhash_signatures(with_shingles(docs), vectorized=True))
+    assert "MapInPandas" in pv
+    assert "xxhash64" in pv.lower()  # hash values still computed in the JVM
+
+
+def test_minhash_vectorized_equals_relational(spark, docs):
+    """The numpy signature kernel must emit BIT-IDENTICAL signatures to the
+    relational partial-min aggregation (exact int64 arithmetic both sides)."""
+    from paraocr_spark.operators.dedup import minhash_signatures, with_shingles
+
+    sh = with_shingles(docs)
+    a = {r["id"]: tuple(r[f"m{i}"] for i in range(64))
+         for r in minhash_signatures(sh).collect()}
+    b = {r["id"]: tuple(r[f"m{i}"] for i in range(64))
+         for r in minhash_signatures(sh, vectorized=True).collect()}
+    assert a == b
 
 
 def test_simhash_no_python(spark, docs):
