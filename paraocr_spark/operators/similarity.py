@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from paraocr_spark.operators.skew import ensure_min_parallelism
-
 #: byte cap for broadcasting the embedding matrix into verify prefilters
 #: (adaptive: corpora above it keep the pure-join rerank path)
 _PREFILTER_BROADCAST_MAX_BYTES = 64 << 20
@@ -150,9 +148,7 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 20,
                 out_c.extend(cand_c[order])
             yield pd.DataFrame({"q": out_q, "nb": out_nb, "cosine": out_c})
 
-    # fan out a coarse scan so the per-batch matmul uses every core
-    # (skew.ensure_min_parallelism; no-op at scale)
-    scored = ensure_min_parallelism(emb.select(id_col, vec_col)).mapInPandas(
+    scored = emb.select(id_col, vec_col).mapInPandas(
         local_topk, schema="q long, nb long, cosine double"
     )
     w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("nb"))
@@ -214,11 +210,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
             yield pdf
 
     out_schema = f"{id_col} long, {vec_col} array<float>, cell int"
-    return (
-        ensure_min_parallelism(emb.select(id_col, vec_col))
-        .mapInPandas(assign, schema=out_schema),
-        C,
-    )
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=out_schema), C
 
 
 def ann_topk_ivf(emb: DataFrame, k: int = 5, n_queries: int = 20,
@@ -311,7 +303,7 @@ def ann_topk_ivf_recall(emb: DataFrame, k: int = 5, n_queries: int = 20,
             pdf["cell"] = np.argmax(D, axis=1).astype("int32")
             yield pdf
 
-    assigned = ensure_min_parallelism(emb.select(id_col, vec_col)).mapInPandas(
+    assigned = emb.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     )
 
@@ -401,11 +393,14 @@ def lsh_signatures(emb: DataFrame, dim: int = _DIM_DEFAULT, bits: int = _BITS,
         M = np.stack(v.to_numpy())  # (n, dim) float32
         return pd.Series(list(_bucket_matrix(M, dim, bits, tables)))
 
-    # fan out a coarse scan so the signature matmul uses every core
-    # (skew.ensure_min_parallelism; no-op at scale) — the UDF sits BELOW
-    # callers' keyed repartition, so without this it runs on the 1-2
-    # splits a small parquet input yields
-    ex = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
+    # NOT fanned out (skew.ensure_min_parallelism): a signature is one row
+    # of a per-batch matmul — microseconds of work per row — so on a small
+    # scan the round-robin Exchange costs about what the 2-core matmul
+    # does (sub-second either way, unresolvable under host noise), and at
+    # scale the embedding scan is already wide, making the fanout a
+    # no-op. Keeping the r5 plan shape avoids an Exchange that buys
+    # nothing at either end.
+    ex = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
