@@ -146,6 +146,20 @@ def _md5_bucket(col, denom: int = 1000):
     return F.pmod(h60, F.lit(denom))
 
 
+def stratified_keep(quotas: dict, default_quota: int = 100,
+                    denom: int = 1000, id_col: str = "doc_id",
+                    strat_col: str = "lang"):
+    """The stratified-sample keep predicate as a boolean Column: doc kept
+    iff its md5 bucket falls under its stratum's quota. Exposed so
+    composed pipelines (clean_corpus) can FILTER with it instead of
+    semi-joining against stratified_sample's projection — a pure filter
+    references the input subtree once, a semi-join twice."""
+    quota = F.lit(default_quota)
+    for k, v in sorted(quotas.items()):
+        quota = F.when(F.col(strat_col) == k, F.lit(v)).otherwise(quota)
+    return _md5_bucket(F.col(id_col), denom) < quota
+
+
 def stratified_sample(docs: DataFrame, quotas: dict, default_quota: int = 100,
                       denom: int = 1000, id_col: str = "doc_id",
                       strat_col: str = "lang") -> DataFrame:
@@ -153,11 +167,8 @@ def stratified_sample(docs: DataFrame, quotas: dict, default_quota: int = 100,
     falls under its stratum's quota (quota/denom = sampling rate). No RNG,
     no extra pass, trivially re-runnable: the same doc is always in or out.
     """
-    quota = F.lit(default_quota)
-    for k, v in sorted(quotas.items()):
-        quota = F.when(F.col(strat_col) == k, F.lit(v)).otherwise(quota)
     return docs.select(F.col(id_col), F.col(strat_col)).where(
-        _md5_bucket(F.col(id_col), denom) < quota
+        stratified_keep(quotas, default_quota, denom, id_col, strat_col)
     )
 
 
@@ -294,12 +305,19 @@ def clean_corpus(docs: DataFrame, *, w: int = 5, threshold: float = 0.9,
             survivors = cleaned.join(dupes, "id", "left_anti").join(
                 gated.select("id", "lang"), "id"
             )
-            kept = stratified_sample(
-                survivors, quotas=quotas or {}, default_quota=default_quota,
-                denom=denom, id_col="id", strat_col="lang",
-            )
+            # sampling is a deterministic per-row predicate, so FILTER with
+            # it (stratified_keep) instead of semi-joining against
+            # stratified_sample's projection: the semi-join form referenced
+            # the whole survivors subtree (including the un-persisted
+            # minhash candidate/verify pipeline) TWICE in one plan — once
+            # as the join's left side and once inside the sample — and
+            # Exchange reuse only partially deduplicates that. Same rows,
+            # same oracle, one computation.
             yield (
-                survivors.join(kept.select("id"), "id", "left_semi")
+                survivors.where(stratified_keep(
+                    quotas or {}, default_quota=default_quota, denom=denom,
+                    id_col="id", strat_col="lang",
+                ))
                 .select(
                     F.col("id").alias("doc_id"),
                     "lang",
