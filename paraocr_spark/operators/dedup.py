@@ -16,9 +16,14 @@ Four families, all shuffle-conscious:
                        block keys, so buckets stay tiny at web scale),
                        exact hamming verify
 
-Everything is pyspark.sql built-ins — zero Python UDFs — so Catalyst sees
-the whole plan: shuffles are keyed on doc_id or band hashes, partial
-aggregation happens map-side, and AQE handles skewed shingle frequencies.
+Candidate generation and signatures are pyspark.sql built-ins, so Catalyst
+sees those plans end to end: shuffles are keyed on doc_id or band hashes,
+partial aggregation happens map-side, and AQE handles skewed shingle
+frequencies. The ONE deliberate exception (round 6) is the ngram verify's
+size-gated batch kernel (_make_pair_set_verify): candidate volume there is
+the whole bill, and a C-speed set-intersection pass over broadcast hash
+sets beat every JVM expression form by ~3x — guide §4.2's
+"vectorized native inner loop" case, applied only where measured.
 """
 
 from __future__ import annotations
@@ -340,12 +345,14 @@ def _verify_hash_prefiltered(pairs: DataFrame, sh: DataFrame,
     (hash_injective): then step 2 is exact, since hashed jaccard == string
     jaccard. On a collision corpus callers use _exact_jaccard directly.
 
-    ``broadcast_hv=True`` broadcasts the hashed-array table to both join
-    sides (guide §3.1): the candidate-pair stream is then never shuffled at
-    all — both attaches are map-side hash joins. Callers enable it from the
-    MEASURED table size (shingle_stats n_instances * 8 bytes), so the
-    decision scales: a corpus whose hash table outgrows the bound keeps the
-    shuffled sort-merge path.
+    ``broadcast_hv=True`` (small corpora only) skips the joins entirely:
+    the hashed-array table is collected and broadcast as an id->hash-list
+    dict and the candidate stream flows through the worker-cached
+    set-intersection kernel (_make_pair_set_verify) with only (a, b) rows
+    ever materialized. Callers enable it from the MEASURED table size
+    (shingle_stats n_instances * 8 bytes — guide §3.1: never from an
+    estimate), so the decision scales: a corpus whose hash table outgrows
+    the bound keeps the shuffled join + array_intersect path below.
     """
     hv = sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
     if broadcast_hv:
