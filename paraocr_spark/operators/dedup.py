@@ -53,11 +53,12 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     normalized text (functions/text.py), the analog of the reference's
     content-addressed cache keys (parallel.py:63-66).
     """
-    from paraocr_spark.operators.skew import ensure_min_parallelism
-
+    # NOT fanned out (skew.ensure_min_parallelism): one md5 over a short
+    # text per row is trivial map work, so on a small scan the round-robin
+    # Exchange costs more than it parallelizes (measured: no sf1.0 gain,
+    # ~0.3 s loss at sf0.1), and a large corpus scan is already wide.
     return (
-        ensure_min_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
     )
